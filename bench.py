@@ -1,0 +1,204 @@
+"""Benchmark: DisentangledVAE training throughput in mel-frames/sec/chip.
+
+Prints ONE JSON line:
+  {"metric": "vae_train_mel_frames_per_sec_per_chip", "value": N,
+   "unit": "frames/sec", "vs_baseline": R}
+
+The pair train step consumes 2 * batch * frames mel frames per step (two
+64-frame utterances per pair, matching reference training.sh's workload).
+
+vs_baseline: ratio against a measured PyTorch-eager replica of the reference
+step (model/disentangled_vae.py + variational_base_vae.py:58-70, including
+its permanent `set_detect_anomaly(True)` at :313) run on THIS host's
+available torch device (CPU here; the reference hardcodes CUDA but none is
+attached).  The baseline measurement is cached in .bench_baseline.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(REPO, ".bench_baseline.json")
+
+BATCH = 8          # training.sh batch size
+FRAMES = 64
+N_MELS = 80
+WARMUP = 3
+ITERS = 20
+
+
+def bench_jax() -> float:
+    import jax
+    import jax.numpy as jnp
+    from dvc_tpu.config import Config
+    from dvc_tpu.train.trainer import create_train_state, make_train_step
+
+    cfg = Config()
+    model, state, optimizer = create_train_state(jax.random.PRNGKey(0), cfg)
+    step = make_train_step(model, optimizer,
+                           compute_dtype=cfg.train.compute_dtype, donate=True)
+    rng = jax.random.PRNGKey(1)
+    x1 = jnp.asarray(np.random.RandomState(0).rand(BATCH, N_MELS, FRAMES),
+                     jnp.float32)
+    x2 = jnp.asarray(np.random.RandomState(1).rand(BATCH, N_MELS, FRAMES),
+                     jnp.float32)
+    for _ in range(WARMUP):
+        state, terms = step(state, x1, x2, rng)
+    jax.block_until_ready(terms)
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, terms = step(state, x1, x2, rng)
+    jax.block_until_ready(terms)
+    dt = (time.perf_counter() - t0) / ITERS
+    frames_per_step = 2 * BATCH * FRAMES
+    return frames_per_step / dt
+
+
+def bench_torch_baseline() -> float:
+    """Faithful eager-PyTorch replica of the reference train step, measured on
+    this host (cached)."""
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            return json.load(f)["frames_per_sec"]
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    torch.manual_seed(0)
+    dev = torch.device("cuda" if torch.cuda.is_available() else "cpu")
+
+    class Torch_VAE(nn.Module):
+        # same graph as reference model/disentangled_vae.py:124-248 (structure
+        # rebuilt from the SURVEY dims; used only as a timing baseline)
+        def __init__(self, speaker=4, latent=32, neck=64, pre=512):
+            super().__init__()
+            self.speaker, self.latent, self.neck = speaker, latent, neck
+            enc = []
+            for i in range(3):
+                enc.append(nn.Sequential(
+                    nn.Conv1d(80 if i == 0 else 512, 512, 5, 1, 2),
+                    nn.BatchNorm1d(512)))
+            self.enc = nn.ModuleList(enc)
+            self.enc_lstm = nn.LSTM(pre, neck, 2, batch_first=True,
+                                    bidirectional=True)
+            self.enc_linear = nn.Linear(8192, 2048)
+            self.style = nn.Linear(2048, speaker * 2)
+            self.content = nn.Linear(2048, (latent - speaker) * 2)
+            self.dec1 = nn.Linear(latent, 2048)
+            self.dec2 = nn.Linear(2048, 8192)
+            self.dec_lstm1 = nn.LSTM(neck * 2, 512, 1, batch_first=True)
+            self.dec_conv = nn.ModuleList([
+                nn.Sequential(nn.Conv1d(pre, pre, 5, 1, 2), nn.BatchNorm1d(pre))
+                for _ in range(3)])
+            self.dec_lstm2 = nn.LSTM(pre, 1024, 2, batch_first=True)
+            self.dec_linear2 = nn.Linear(1024, 80)
+            post = [nn.Sequential(nn.Conv1d(80, 512, 5, 1, 2), nn.BatchNorm1d(512))]
+            for _ in range(3):
+                post.append(nn.Sequential(nn.Conv1d(512, 512, 5, 1, 2),
+                                          nn.BatchNorm1d(512)))
+            post.append(nn.Sequential(nn.Conv1d(512, 80, 5, 1, 2),
+                                      nn.BatchNorm1d(80)))
+            self.post = nn.ModuleList(post)
+
+        def encode(self, x):
+            for m in self.enc:
+                x = F.relu(m(x))
+            x = x.transpose(1, 2)
+            out, _ = self.enc_lstm(x)
+            out = out.reshape(x.shape[0], -1)
+            out = F.relu(self.enc_linear(out))
+            s, c = self.style(out), self.content(out)
+            k = self.speaker
+            return s[:, :k], s[:, k:], c[:, :self.latent - k], c[:, self.latent - k:]
+
+        def decode(self, z):
+            o = self.dec2(self.dec1(z)).view(z.shape[0], -1, self.neck * 2)
+            o, _ = self.dec_lstm1(o)
+            o = o.transpose(-1, -2)
+            for m in self.dec_conv:
+                o = F.relu(m(o))
+            o = o.transpose(-1, -2)
+            o, _ = self.dec_lstm2(o)
+            return self.dec_linear2(o).transpose(-1, -2)
+
+        def postnet(self, x):
+            for m in self.post[:-1]:
+                x = torch.tanh(m(x))
+            return self.post[-1](x)
+
+        def rep(self, mu, lv):
+            return torch.randn_like(lv) * (lv * 0.5).exp() + mu
+
+        def forward(self, x1, x2):
+            s1m, s1l, c1m, c1l = self.encode(x1)
+            z1c = self.rep(c1m, c1l)
+            s2m, s2l, c2m, c2l = self.encode(x2)
+            z2c = self.rep(c2m, c2l)
+            s2m, s2l = s2m.detach(), s2l.detach()
+            zsm, zsl = (s1m + s2m) / 2, (s1l + s2l) / 2
+            zs = self.rep(zsm, zsl)
+            z1 = torch.cat([zs, z1c], -1)
+            z2 = torch.cat([zs, z2c], -1)
+            r1, r2 = self.decode(z1), self.decode(z2)
+            r1h = r1 + self.postnet(r1)
+            r2h = r2 + self.postnet(r2)
+            q1m = torch.cat([zsm, c1m], -1); q1l = torch.cat([zsl, c1l], -1)
+            q2m = torch.cat([zsm, c2m], -1); q2l = torch.cat([zsl, c2l], -1)
+            return r1, r2, r1h, r2h, q1m, q1l, q2m, q2l, zsm, zsl
+
+    model = Torch_VAE().to(dev)
+    opt = torch.optim.Adam(model.parameters(), lr=1e-4)
+    x1 = torch.rand(BATCH, N_MELS, FRAMES, device=dev)
+    x2 = torch.rand(BATCH, N_MELS, FRAMES, device=dev)
+
+    def step():
+        opt.zero_grad()
+        r1, r2, r1h, r2h, q1m, q1l, q2m, q2l, sm, sl = model(x1, x2)
+        with torch.autograd.set_detect_anomaly(True):  # reference :313
+            l = (F.l1_loss(x1, r1, reduction="sum") / BATCH
+                 + F.l1_loss(x2, r2, reduction="sum") / BATCH
+                 + F.l1_loss(x1, r1h, reduction="sum") / BATCH
+                 + F.l1_loss(x2, r2h, reduction="sum") / BATCH) * 10.0
+            kl1 = (-0.5) * torch.sum(1 + q1l - q1m.pow(2) - q1l.exp(), -1).mean()
+            kl2 = (-0.5) * torch.sum(1 + q2l - q2m.pow(2) - q2l.exp(), -1).mean()
+            l = l + 10.0 * (kl1 + kl2)
+        l.backward()
+        opt.step()
+
+    for _ in range(2):
+        step()
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        step()
+    dt = (time.perf_counter() - t0) / iters
+    fps = 2 * BATCH * FRAMES / dt
+    with open(CACHE, "w") as f:
+        json.dump({"frames_per_sec": fps, "device": str(dev)}, f)
+    return fps
+
+
+def main():
+    jax_fps = bench_jax()
+    try:
+        base_fps = bench_torch_baseline()
+    except Exception as e:
+        print(f"baseline measurement failed: {e}", file=sys.stderr)
+        base_fps = None
+    vs = (jax_fps / base_fps) if base_fps else None
+    print(json.dumps({
+        "metric": "vae_train_mel_frames_per_sec_per_chip",
+        "value": round(jax_fps, 1),
+        "unit": "frames/sec",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,178 @@
+"""Unified CLI: preprocess / train / convert / eval-mcd subcommands.
+
+Mirrors the reference's three entry points (preprocessing.sh -> preprocess,
+training.sh -> train, conversion.sh -> convert, MCD_calculate.py -> eval-mcd)
+with the same canonical hyperparameter defaults (training.sh:1-13:
+batch 8, lr 1e-4, latent 32, speaker 4, 200k epochs).  The reference's
+`--train`/`--convert` bool-typed flags (train.py:70-71, where any non-empty
+string means True) are replaced by subcommands.
+
+Usage:
+  python -m dvc_tpu.cli.run preprocess <datasets_root> -o <out_dir> -d VCTK [--trim]
+  python -m dvc_tpu.cli.run train --dataset_fp <mel_dir> --log_dir ./results ...
+  python -m dvc_tpu.cli.run convert --dataset_fp <mel_dir> --src_spk A --trg_spk B ...
+  python -m dvc_tpu.cli.run eval-mcd --src_dir <wavs> --cvt_dir <wavs> ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+
+def _add_train_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--dataset_fp", required=True)
+    p.add_argument("--log_dir", default="./results")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--epochs", type=int, default=200_000)
+    p.add_argument("--latent-size", type=int, default=32)
+    p.add_argument("--speaker_size", type=int, default=4)
+    p.add_argument("--samples_length", type=int, default=64)
+    p.add_argument("--report-interval", type=int, default=50)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--mse_cof", type=float, default=10.0)
+    p.add_argument("--kl_cof", type=float, default=10.0)
+    p.add_argument("--style_cof", type=float, default=0.1)
+    p.add_argument("--beta_cof", type=float, default=0.1)
+    p.add_argument("--compute-dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--do-not-resume", action="store_true")
+
+
+def _config_from_args(args) -> "Config":
+    from dvc_tpu import config as C
+    vae = C.VAEConfig(latent_dim=args.latent_size, speaker_size=args.speaker_size,
+                      frames=args.samples_length)
+    loss = C.LossConfig(mse_cof=args.mse_cof, kl_cof=args.kl_cof,
+                        style_cof=args.style_cof, beta_cof=args.beta_cof)
+    train = C.TrainConfig(batch_size=args.batch_size, learning_rate=args.lr,
+                          epochs=args.epochs, report_interval=args.report_interval,
+                          seed=args.seed, samples_length=args.samples_length,
+                          compute_dtype=args.compute_dtype)
+    return C.Config(vae=vae, loss=loss, train=train)
+
+
+def cmd_preprocess(args) -> int:
+    from dvc_tpu.data.preprocess import preprocess_dataset
+    stats = preprocess_dataset(args.datasets_root, args.out_dir, args.dataset,
+                               skip_existing=args.skip_existing,
+                               trim=not args.no_trim)
+    print(f"preprocessed {stats.n_files} files ({stats.n_frames} mel frames), "
+          f"skipped {stats.n_skipped}")
+    return 0
+
+
+def cmd_train(args) -> int:
+    from dvc_tpu.data.dataset import PairedMelDataset
+    from dvc_tpu.train.trainer import Trainer
+
+    cfg = _config_from_args(args)
+    os.makedirs(args.log_dir, exist_ok=True)
+    with open(os.path.join(args.log_dir, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+
+    dataset = PairedMelDataset(args.dataset_fp, samples_length=args.samples_length,
+                               seed=args.seed)
+    trainer = Trainer(cfg,
+                      checkpoints_path=os.path.join(args.log_dir, "checkpoints"),
+                      logs_path=os.path.join(args.log_dir, "logs"))
+    trainer.run_training(dataset, args.epochs,
+                         report_interval=args.report_interval,
+                         reload_model=not args.do_not_resume)
+    return 0
+
+
+def cmd_convert(args) -> int:
+    import jax
+    from dvc_tpu.convert.conversion import VoiceConverter
+    from dvc_tpu.train.trainer import Trainer
+
+    cfg = _config_from_args(args)
+    trainer = Trainer(cfg,
+                      checkpoints_path=os.path.join(args.log_dir, "checkpoints"))
+    epoch = trainer.load_last()
+    print(f"loaded checkpoint at epoch {epoch - 1}")
+    variables = {"params": trainer.state.params,
+                 "batch_stats": trainer.state.batch_stats}
+
+    vocoder = None
+    if args.vocoder_ckpt:
+        from dvc_tpu.convert.vocode import make_vocoder
+        vocoder = make_vocoder(args.vocoder_ckpt)
+
+    converter = VoiceConverter(cfg, trainer.model, variables, seed=args.seed)
+    converter.convert_speaker_pair(
+        args.dataset_fp, args.src_spk, args.trg_spk,
+        os.path.join(args.log_dir, "generation"),
+        num_utterances=args.num_utterances, vocoder=vocoder)
+    return 0
+
+
+def cmd_eval_mcd(args) -> int:
+    from glob import glob
+    import numpy as np
+    from dvc_tpu.eval.mcd import evaluate_mcd_wav
+    from dvc_tpu.utils.wavio import read_wav
+
+    cvt_fps = sorted(glob(os.path.join(args.cvt_dir, "*.wav")))
+    src, cvt = [], []
+    for fp in cvt_fps:
+        utt = os.path.basename(fp).split("_cv")[0] + ".wav"
+        src_fp = os.path.join(args.src_dir, utt)
+        if not os.path.exists(src_fp):
+            continue
+        src.append(read_wav(src_fp)[0])
+        cvt.append(read_wav(fp)[0])
+    mcds = evaluate_mcd_wav(src, cvt)
+    for fp, m in zip(cvt_fps, mcds):
+        print(f"utterance {os.path.basename(fp)} mcd: {m}")
+    print("MCD value between two speaker: ", float(np.mean(mcds)) if mcds else None)
+    return 0
+
+
+def main(argv=None) -> int:
+    # honor DVC_TPU_PLATFORM even though this image's sitecustomize pre-pins
+    # the jax platform (env JAX_PLATFORMS alone is consulted too early)
+    platform = os.environ.get("DVC_TPU_PLATFORM")
+    if platform:
+        import jax
+        jax.config.update("jax_platforms", platform)
+
+    parser = argparse.ArgumentParser(prog="dvc_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("preprocess")
+    p.add_argument("datasets_root")
+    p.add_argument("-o", "--out_dir", required=True)
+    p.add_argument("-d", "--dataset", default="VCTK")
+    p.add_argument("-s", "--skip_existing", action="store_true")
+    p.add_argument("--no_trim", action="store_true")
+    p.set_defaults(fn=cmd_preprocess)
+
+    p = sub.add_parser("train")
+    _add_train_args(p)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("convert")
+    _add_train_args(p)
+    p.add_argument("--src_spk", default="VCTK-Corpus_wav16_p225")
+    p.add_argument("--trg_spk", default="VCTK-Corpus_wav16_p226")
+    p.add_argument("--num_utterances", type=int, default=2)
+    p.add_argument("--vocoder_ckpt", default="")
+    p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser("eval-mcd")
+    p.add_argument("--src_dir", required=True)
+    p.add_argument("--cvt_dir", required=True)
+    p.set_defaults(fn=cmd_eval_mcd)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

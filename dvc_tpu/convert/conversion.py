@@ -1,0 +1,132 @@
+"""Latent-swap voice conversion.
+
+Parity with reference voice_conversion_mel
+(model/variational_base_vae.py:243-330):
+  1. chunk source/target mels into (N, 80, 64) blocks (chunking_mel :335-348);
+  2. encode both; per-speaker style = MEAN of style_mu over chunks (:281-282);
+  3. source_z  = [src_style, src_content_mu]   (reconstruction probe)
+     convert_z = [trg_style, src_content_mu]   (the actual conversion) (:284-285);
+  4. decode; converted += postnet(converted); clamp to [0,1] (:287-296);
+  5. concatenate chunks on time; vocode.
+
+TPU-native: steps 2-5 are one jitted program; the chunk axis is a batch axis
+(shardable over the data mesh axis), so arbitrarily long utterances convert
+in one device pass instead of the reference's per-utterance Python loop.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from glob import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dvc_tpu.config import Config
+from dvc_tpu.models.disentangled_vae import DisentangledVAE
+from dvc_tpu.ops.chunk import chunk_mel, unchunk_mel
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _convert_chunks(model: DisentangledVAE, variables, src_chunks, trg_chunks):
+    """(Ns, 80, 64), (Nt, 80, 64) -> (recons_voice, converted_voice) (80, Ns*64)."""
+    src_style_mu, _, src_content_mu, _ = model.apply(
+        variables, src_chunks, method="encode")
+    trg_style_mu, _, _, _ = model.apply(variables, trg_chunks, method="encode")
+
+    n = src_chunks.shape[0]
+    src_style = jnp.broadcast_to(jnp.mean(src_style_mu, axis=0, keepdims=True),
+                                 (n, src_style_mu.shape[-1]))
+    trg_style = jnp.broadcast_to(jnp.mean(trg_style_mu, axis=0, keepdims=True),
+                                 (n, trg_style_mu.shape[-1]))
+
+    source_z = jnp.concatenate([src_style, src_content_mu], axis=-1)
+    convert_z = jnp.concatenate([trg_style, src_content_mu], axis=-1)
+
+    recons_mel = model.apply(variables, source_z, method="decode")
+    converted_mel = model.apply(variables, convert_z, method="decode")
+    converted_mel = converted_mel + model.apply(variables, converted_mel,
+                                                method="postnet")
+    recons_voice = unchunk_mel(recons_mel)
+    converted_voice = unchunk_mel(jnp.clip(converted_mel, 0.0, 1.0))
+    return recons_voice, converted_voice
+
+
+def convert_mel(model: DisentangledVAE, variables, source_mel: np.ndarray,
+                target_mel: np.ndarray, frames: int = 64
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """(80, Ts), (80, Tt) -> (recons, converted) both (80, (Ts//64+1)*64).
+
+    NOTE: like the reference, the zero-padded tail of the last chunk is kept
+    (the vocoder sees it) — crop with [:, :Ts] if undesired.
+    """
+    src_chunks = chunk_mel(jnp.asarray(source_mel, jnp.float32), frames)
+    trg_chunks = chunk_mel(jnp.asarray(target_mel, jnp.float32), frames)
+    recons, converted = _convert_chunks(model, variables, src_chunks, trg_chunks)
+    return np.asarray(recons), np.asarray(converted)
+
+
+@dataclass
+class VoiceConverter:
+    """Directory-level driver mirroring voice_conversion_mel's file handling
+    (sorted source utterances, random target utterance, per-pair save dir)."""
+
+    cfg: Config
+    model: DisentangledVAE
+    variables: dict
+    seed: int = 0
+
+    def convert_speaker_pair(self, dataset_fp: str, src_spk: str, trg_spk: str,
+                             generation_dir: str, num_utterances: int = 2,
+                             vocoder=None, save_png: bool = True):
+        """Convert the first `num_utterances` (sorted) source utterances using
+        a random target utterance each (reference :257-271). Returns a list of
+        (utterance_id, recons_mel, converted_mel[, waveform]) tuples."""
+        rng = np.random.RandomState(self.seed)
+        save_dir = os.path.join(generation_dir, f"{src_spk}_to_{trg_spk}")
+        os.makedirs(save_dir, exist_ok=True)
+
+        src_fps = np.sort(glob(os.path.join(dataset_fp, src_spk, "*.npy")))
+        trg_fps = glob(os.path.join(dataset_fp, trg_spk, "*.npy"))
+        results = []
+        for i in range(min(num_utterances, len(src_fps))):
+            source_mel = np.load(src_fps[i])
+            target_mel = np.load(trg_fps[rng.choice(len(trg_fps))])
+            utt_id = os.path.basename(src_fps[i]).split(".")[0].split("_")[-2] \
+                if "_" in os.path.basename(src_fps[i]) else str(i)
+            recons, converted = convert_mel(self.model, self.variables,
+                                            source_mel, target_mel,
+                                            self.cfg.vae.frames)
+            if save_png:
+                self._save_pngs(save_dir, src_spk, trg_spk, utt_id,
+                                source_mel, recons, converted)
+            entry = [utt_id, recons, converted]
+            if vocoder is not None:
+                wav = vocoder(converted)  # (80, T) -> waveform
+                self._write_wav(os.path.join(
+                    save_dir, f"convert_{src_spk}_to_{trg_spk}_{utt_id}.wav"), wav)
+                entry.append(wav)
+            results.append(tuple(entry))
+        return results
+
+    @staticmethod
+    def _save_pngs(save_dir, src_spk, trg_spk, utt_id, source, recons, converted):
+        try:
+            from dvc_tpu.utils.plotting import save_mel_png
+        except Exception:
+            return
+        save_mel_png(source, os.path.join(save_dir, f"original_{src_spk}_{utt_id}.png"),
+                     f"original_{src_spk}_{utt_id}")
+        save_mel_png(converted, os.path.join(
+            save_dir, f"convert_{src_spk}_{trg_spk}_{utt_id}.png"),
+            f"convert_{src_spk}_{trg_spk}_{utt_id}")
+        save_mel_png(recons, os.path.join(save_dir, f"recons_{src_spk}_{utt_id}.png"),
+                     f"reconstruct_{src_spk}_{utt_id}")
+
+    @staticmethod
+    def _write_wav(path: str, wav: np.ndarray, sample_rate: int = 16_000):
+        from dvc_tpu.utils.wavio import write_wav
+        write_wav(path, wav, sample_rate)

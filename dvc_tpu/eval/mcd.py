@@ -1,0 +1,122 @@
+"""Mel-cepstral distortion (MCD) evaluation.
+
+Parity with reference preprocessing/MCD_calculate.py:54-98: WORLD-extract
+MCCs of source & converted wavs, drop unvoiced (f0 == 0) frames, DTW-align
+on the first 24 MCCs, then
+    MCD = mean( 10/ln10 * sqrt(2 * sum(diff^2)) )            (:92-93).
+
+Deviation (documented): the reference aligns with `fastdtw` (an approximate
+O(N) DTW); here the alignment is EXACT dynamic-programming DTW with the same
+euclidean metric — at these lengths (<= a few thousand frames) exact DTW is
+cheap, and its cost is <= fastdtw's by construction.  A batched
+Sakoe-Chiba-banded JAX DTW (`dtw_cost_banded`) is provided for on-device
+sweeps where only the distortion (not the path) is needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def dtw_path(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exact DTW alignment path between (N, D) and (M, D) under euclidean
+    distance.  Returns (path_x, path_y) index arrays."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    n, m = len(x), len(y)
+    dist = np.sqrt(
+        np.maximum(0.0, (x**2).sum(1)[:, None] + (y**2).sum(1)[None, :]
+                   - 2.0 * x @ y.T))
+    acc = np.full((n + 1, m + 1), np.inf)
+    acc[0, 0] = 0.0
+    for i in range(1, n + 1):
+        row_prev = acc[i - 1]
+        row = acc[i]
+        d_row = dist[i - 1]
+        for j in range(1, m + 1):
+            row[j] = d_row[j - 1] + min(row_prev[j], row[j - 1], row_prev[j - 1])
+    # backtrack
+    path = []
+    i, j = n, m
+    while i > 0 or j > 0:
+        path.append((i - 1, j - 1))
+        moves = []
+        if i > 0 and j > 0:
+            moves.append((acc[i - 1, j - 1], i - 1, j - 1))
+        if i > 0:
+            moves.append((acc[i - 1, j], i - 1, j))
+        if j > 0:
+            moves.append((acc[i, j - 1], i, j - 1))
+        _, i, j = min(moves)
+        if i == 0 and j == 0:
+            break
+    path.reverse()
+    p = np.array(path)
+    return p[:, 0], p[:, 1]
+
+
+def mcd_from_mcc(src_mcc: np.ndarray, trg_mcc: np.ndarray,
+                 src_f0: np.ndarray | None = None,
+                 trg_f0: np.ndarray | None = None,
+                 num_coeffs: int = 24) -> float:
+    """MCD between two MCC sequences, exactly the reference math (:79-93):
+    voiced-only frames (f0 > 0), first `num_coeffs` coefficients, DTW align,
+    10/ln10 * sqrt(2 * sum diff^2) averaged over the path."""
+    if src_f0 is not None:
+        src_mcc = src_mcc[np.where(src_f0 > 0)[0]]
+    if trg_f0 is not None:
+        trg_mcc = trg_mcc[np.where(trg_f0 > 0)[0]]
+    src_mcc = src_mcc[:, :num_coeffs]
+    trg_mcc = trg_mcc[:, :num_coeffs]
+    px, py = dtw_path(src_mcc, trg_mcc)
+    diff2sum = np.sum((src_mcc[px] - trg_mcc[py]) ** 2, axis=1)
+    return float(np.mean(10.0 / np.log(10.0) * np.sqrt(2.0 * diff2sum)))
+
+
+def evaluate_mcd_wav(src_wavs: list[np.ndarray], trg_wavs: list[np.ndarray],
+                     fs: int = 16_000) -> list[float]:
+    """Waveform-level MCD list (reference evaluate_mcd_wav :54-98): extract
+    f0 + MCC with the WORLD-equivalent analysis chain (ops/world.py) per wav
+    pair and compute per-utterance MCD."""
+    from dvc_tpu.ops.world import world_encode_data
+
+    out = []
+    for src, trg in zip(src_wavs, trg_wavs):
+        f0_s, _, _, _, mc_s = world_encode_data(src, fs)
+        f0_t, _, _, _, mc_t = world_encode_data(trg, fs)
+        out.append(mcd_from_mcc(mc_s, mc_t, f0_s, f0_t))
+    return out
+
+
+# --- batched banded DTW cost (device-side, no path) --------------------------
+
+def dtw_cost_banded(x: jax.Array, y: jax.Array, band: int = 64) -> jax.Array:
+    """Sakoe-Chiba banded DTW cost between equal-length (T, D) sequences,
+    scan over anti-diagonals — batched/jittable for on-device eval sweeps."""
+    t = x.shape[0]
+    dist = jnp.sqrt(jnp.maximum(
+        0.0, (x**2).sum(1)[:, None] + (y**2).sum(1)[None, :] - 2.0 * x @ y.T))
+    big = jnp.float32(1e30)
+    band_mask = jnp.abs(jnp.arange(t)[:, None] - jnp.arange(t)[None, :]) > band
+    dist = jnp.where(band_mask, big, dist)
+
+    def row_step(prev_row, d_row):
+        # prev_row: accumulated costs of row i-1 (length T)
+        def cell(carry, inp):
+            left = carry
+            d, up, diag = inp
+            best = jnp.minimum(jnp.minimum(up, left), diag)
+            cost = d + best
+            return cost, cost
+
+        diag = jnp.concatenate([jnp.array([big]), prev_row[:-1]])
+        # first cell has no left; emulate with big as init carry
+        _, row = jax.lax.scan(cell, big, (d_row, prev_row, diag))
+        return row, None
+
+    init = jnp.minimum(jnp.cumsum(dist[0]), big)  # acc[0, j] = sum of row-0 costs
+    row, _ = jax.lax.scan(row_step, init, dist[1:])
+    return row[-1]

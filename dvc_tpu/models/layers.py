@@ -1,0 +1,199 @@
+"""Building-block layers shared by all models.
+
+- ConvNorm / LinearNorm: xavier-initialized conv/linear (reference
+  model/disentangled_vae.py:90-121) operating channels-last.
+- LSTM: multi-layer, optionally bidirectional LSTM with PyTorch parameter
+  layout (W_ih/W_hh/b_ih/b_hh, gate order i,f,g,o — needed for torch->JAX
+  checkpoint conversion) built for the MXU: the input projection of ALL
+  timesteps is one large matmul outside the scan; only the small recurrent
+  matmul lives inside `lax.scan` (unrolled — sequences here are <=80 steps).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Dtype = Any
+
+# scan unroll factor for LSTMs: higher amortizes scan overhead on TPU but
+# inflates compile time; tests set this to 1 (tests/conftest.py)
+DEFAULT_UNROLL = 8
+
+_GAINS = {"linear": 1.0, "relu": float(np.sqrt(2.0)), "tanh": 5.0 / 3.0, "sigmoid": 1.0}
+
+
+def xavier_uniform_gain(gain: float) -> Callable:
+    """torch.nn.init.xavier_uniform_ with gain == variance_scaling(gain^2, fan_avg, uniform)."""
+    return nn.initializers.variance_scaling(gain * gain, "fan_avg", "uniform")
+
+
+def torch_linear_bias_init(fan_in: int) -> Callable:
+    """torch Linear/Conv default bias: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    bound = 1.0 / np.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def const_init(value: float) -> Callable:
+    def init(key, shape, dtype=jnp.float32):
+        return jnp.full(shape, value, dtype)
+
+    return init
+
+
+class LinearNorm(nn.Module):
+    """Dense with torch-xavier init (reference model/disentangled_vae.py:90-100)."""
+
+    features: int
+    use_bias: bool = True
+    w_init_gain: str = "linear"
+    bias_init_value: float | None = None  # None -> torch default U(+-1/sqrt(fan_in))
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        fan_in = x.shape[-1]
+        bias_init = (const_init(self.bias_init_value) if self.bias_init_value is not None
+                     else torch_linear_bias_init(fan_in))
+        return nn.Dense(self.features, use_bias=self.use_bias,
+                        kernel_init=xavier_uniform_gain(_GAINS[self.w_init_gain]),
+                        bias_init=bias_init, dtype=self.dtype, name="dense")(x)
+
+
+class ConvNorm(nn.Module):
+    """1-D conv (channels-last, SAME padding for odd kernels) with torch-xavier
+    init (reference model/disentangled_vae.py:103-121)."""
+
+    features: int
+    kernel_size: int = 1
+    stride: int = 1
+    dilation: int = 1
+    use_bias: bool = True
+    w_init_gain: str = "linear"
+    bias_init_value: float | None = None
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        assert self.kernel_size % 2 == 1
+        pad = self.dilation * (self.kernel_size - 1) // 2
+        fan_in = x.shape[-1] * self.kernel_size
+        bias_init = (const_init(self.bias_init_value) if self.bias_init_value is not None
+                     else torch_linear_bias_init(fan_in))
+        return nn.Conv(self.features, (self.kernel_size,), strides=(self.stride,),
+                       kernel_dilation=(self.dilation,), padding=[(pad, pad)],
+                       use_bias=self.use_bias,
+                       kernel_init=xavier_uniform_gain(_GAINS[self.w_init_gain]),
+                       bias_init=bias_init, dtype=self.dtype, name="conv")(x)
+
+
+class BatchNorm(nn.Module):
+    """torch BatchNorm1d semantics over (B, T, C): normalize per-channel across
+    (B, T); running stats in the `batch_stats` collection."""
+
+    use_running_average: bool | None = None
+    momentum: float = 0.9  # = 1 - torch momentum (0.1)
+    epsilon: float = 1e-5
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, use_running_average: bool | None = None) -> jax.Array:
+        ura = nn.merge_param("use_running_average", self.use_running_average,
+                             use_running_average)
+        return nn.BatchNorm(use_running_average=ura, momentum=self.momentum,
+                            epsilon=self.epsilon, dtype=self.dtype, name="bn")(x)
+
+
+def _torch_lstm_init(hidden: int) -> Callable:
+    bound = 1.0 / np.sqrt(hidden)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def lstm_direction(x: jax.Array, w_ih: jax.Array, w_hh: jax.Array,
+                   b_ih: jax.Array, b_hh: jax.Array, reverse: bool = False,
+                   unroll: int | None = None) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
+    """One LSTM direction over (B, T, I).
+
+    Returns (outputs (B, T, H), (h_T, c_T)).  Gate order (i, f, g, o) matches
+    torch so converted checkpoints drop straight in.
+    """
+    h_dim = w_hh.shape[-1]
+    b, t, _ = x.shape
+    # All-timestep input projection: a single (B*T, I) x (I, 4H) MXU matmul.
+    xp = jnp.einsum("bti,gi->btg", x, w_ih, preferred_element_type=jnp.float32)
+    xp = xp + b_ih + b_hh
+    if reverse:
+        xp = jnp.flip(xp, axis=1)
+    xs = jnp.swapaxes(xp, 0, 1)  # (T, B, 4H)
+    w_hh_t = w_hh.T  # (H, 4H)
+
+    def step(carry, xt):
+        h, c = carry
+        gates = xt + jnp.dot(h, w_hh_t, preferred_element_type=jnp.float32)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    init = (jnp.zeros((b, h_dim), xp.dtype), jnp.zeros((b, h_dim), xp.dtype))
+    (h_t, c_t), ys = jax.lax.scan(step, init, xs,
+                                  unroll=unroll if unroll is not None else DEFAULT_UNROLL)
+    ys = jnp.swapaxes(ys, 0, 1)
+    if reverse:
+        ys = jnp.flip(ys, axis=1)
+    return ys, (h_t, c_t)
+
+
+class LSTM(nn.Module):
+    """Multi-layer (bi)LSTM, torch parameter layout & init.
+
+    Input (B, T, I) -> output (B, T, H * num_directions).  Final-layer hidden
+    states are also returned (the GE2E encoder consumes hidden[-1],
+    reference preprocessing/encoder/model.py:53-56).
+    """
+
+    features: int
+    num_layers: int = 1
+    bidirectional: bool = False
+    unroll: int | None = None
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
+        h = self.features
+        init = _torch_lstm_init(h)
+        directions = [False, True] if self.bidirectional else [False]
+        finals = None
+        for layer in range(self.num_layers):
+            in_dim = x.shape[-1]
+            outs = []
+            finals = []
+            for rev in directions:
+                sfx = f"l{layer}" + ("_reverse" if rev else "")
+                w_ih = self.param(f"w_ih_{sfx}", init, (4 * h, in_dim))
+                w_hh = self.param(f"w_hh_{sfx}", init, (4 * h, h))
+                b_ih = self.param(f"b_ih_{sfx}", init, (4 * h,))
+                b_hh = self.param(f"b_hh_{sfx}", init, (4 * h,))
+                if self.dtype is not None:
+                    x_c, w_ih, w_hh = (a.astype(self.dtype) for a in (x, w_ih, w_hh))
+                else:
+                    x_c = x
+                ys, hc = lstm_direction(x_c, w_ih, w_hh, b_ih, b_hh, rev, self.unroll)
+                outs.append(ys)
+                finals.append(hc)
+            x = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+        h_fin = jnp.stack([f[0] for f in finals], 0)  # (num_dirs, B, H) of last layer
+        c_fin = jnp.stack([f[1] for f in finals], 0)
+        return x, (h_fin, c_fin)

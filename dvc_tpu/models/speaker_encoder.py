@@ -1,0 +1,72 @@
+"""GE2E speaker encoder.
+
+Parity with reference preprocessing/encoder/model.py:12-138:
+  3-layer LSTM(80 -> 256), last layer's final hidden state -> Linear -> ReLU
+  -> L2 normalize (embedding 256); GE2E similarity matrix with
+  inclusive/exclusive centroids scaled by learned (weight=10, bias=-5);
+  softmax loss over speakers.
+
+TPU-native: the similarity matrix replaces the reference's per-speaker Python
+loop (encoder/model.py:89-92) with masked einsums — one fused program.  EER
+is computed host-side in eval/eer.py (sklearn-free ROC), as in the reference
+it is never backpropagated.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dvc_tpu.config import SpeakerEncoderConfig
+from dvc_tpu.models.layers import LSTM
+
+
+class SpeakerEncoder(nn.Module):
+    cfg: SpeakerEncoderConfig = SpeakerEncoderConfig()
+    dtype: jnp.dtype | None = None
+
+    def setup(self):
+        self.lstm = LSTM(self.cfg.hidden_size, num_layers=self.cfg.num_layers,
+                         dtype=self.dtype, name="lstm")
+        self.linear = nn.Dense(self.cfg.embedding_size, name="linear")
+        self.similarity_weight = self.param(
+            "similarity_weight", lambda k, s: jnp.full(s, 10.0), (1,))
+        self.similarity_bias = self.param(
+            "similarity_bias", lambda k, s: jnp.full(s, -5.0), (1,))
+
+    def __call__(self, utterances: jax.Array) -> jax.Array:
+        """(B, n_frames, n_mels) -> L2-normalized embeddings (B, E)."""
+        _, (h, _) = self.lstm(utterances)
+        embeds_raw = nn.relu(self.linear(h[-1]))
+        norm = jnp.linalg.norm(embeds_raw, axis=1, keepdims=True)
+        return embeds_raw / jnp.maximum(norm, 1e-12)
+
+    def similarity_matrix(self, embeds: jax.Array) -> jax.Array:
+        """(S, U, E) -> (S, U, S) GE2E similarities (encoder/model.py:63-105)."""
+        s, u, _ = embeds.shape
+        centroids_incl = jnp.mean(embeds, axis=1, keepdims=True)  # (S,1,E)
+        centroids_incl = centroids_incl / jnp.linalg.norm(
+            centroids_incl, axis=2, keepdims=True)
+        centroids_excl = (jnp.sum(embeds, axis=1, keepdims=True) - embeds) / (u - 1)
+        centroids_excl = centroids_excl / jnp.linalg.norm(
+            centroids_excl, axis=2, keepdims=True)
+
+        # off-diagonal: embed[s,u] . centroid_incl[j];  diagonal: . centroid_excl[s,u]
+        sim_incl = jnp.einsum("sue,je->suj", embeds, centroids_incl[:, 0, :],
+                              preferred_element_type=jnp.float32)
+        sim_excl = jnp.einsum("sue,sue->su", embeds, centroids_excl,
+                              preferred_element_type=jnp.float32)
+        eye = jnp.eye(s, dtype=bool)[:, None, :]  # (S,1,S)
+        sim = jnp.where(eye, sim_excl[:, :, None], sim_incl)
+        return sim * self.similarity_weight + self.similarity_bias
+
+    def loss(self, embeds: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """GE2E softmax loss (encoder/model.py:107-123).  Returns
+        (scalar loss, (S*U, S) similarity matrix for host-side EER)."""
+        s, u, _ = embeds.shape
+        sim = self.similarity_matrix(embeds).reshape(s * u, s)
+        target = jnp.repeat(jnp.arange(s), u)
+        logprobs = jax.nn.log_softmax(sim, axis=-1)
+        loss = -jnp.mean(jnp.take_along_axis(logprobs, target[:, None], axis=1))
+        return loss, sim

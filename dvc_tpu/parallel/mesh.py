@@ -1,0 +1,98 @@
+"""Device mesh + sharding layer — the framework's distributed backend.
+
+The reference has NO distributed layer at all (single hardcoded CUDA device,
+no torch.distributed anywhere; SURVEY.md §2.2).  On TPU the equivalent of a
+NCCL backend is this thin module: name the mesh axes, annotate shardings, and
+let pjit/XLA insert the ICI collectives (psum/all-gather/reduce-scatter).
+
+Axes:
+  data  — batch-axis data parallelism (gradients all-reduced by XLA);
+  model — reserved for tensor-parallel sharding of the large encoder/decoder
+          matmuls (the ~50M-param VAE fits on one chip, so model_parallel=1
+          is the default, but the axis exists so large variants shard).
+
+ZeRO-style optimizer-state sharding over the data axis is provided via
+`zero_sharding_for` (shard the largest axis of every optimizer tensor).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dvc_tpu.config import MeshConfig
+
+
+def make_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    mp = max(1, cfg.model_parallel)
+    dp = cfg.data_parallel if cfg.data_parallel > 0 else n // mp
+    assert dp * mp <= n, f"mesh {dp}x{mp} needs more than {n} devices"
+    dev_array = np.asarray(devices[: dp * mp]).reshape(dp, mp)
+    return Mesh(dev_array, (cfg.data_axis, cfg.model_axis))
+
+
+def data_sharding(mesh: Mesh, ndim: int = 3) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis, replicate the rest."""
+    spec = P(mesh.axis_names[0], *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _zero_spec(x: Any, mesh: Mesh, min_size: int = 2**14) -> NamedSharding:
+    """ZeRO: shard the largest axis divisible by the data-axis size."""
+    data_axis = mesh.axis_names[0]
+    n = mesh.shape[data_axis]
+    if not hasattr(x, "shape") or x.ndim == 0 or x.size < min_size:
+        return NamedSharding(mesh, P())
+    order = np.argsort(x.shape)[::-1]
+    for ax in order:
+        if x.shape[ax] % n == 0:
+            spec = [None] * x.ndim
+            spec[int(ax)] = data_axis
+            return NamedSharding(mesh, P(*spec))
+    return NamedSharding(mesh, P())
+
+
+def zero_sharding_for(tree: Any, mesh: Mesh) -> Any:
+    """Sharding pytree for optimizer state / params: largest-axis sharding over
+    the data axis for big tensors, replication for small ones."""
+    return jax.tree_util.tree_map(lambda x: _zero_spec(x, mesh), tree)
+
+
+def _model_spec(x: Any, mesh: Mesh, min_size: int = 2**12) -> NamedSharding:
+    """Tensor parallelism: shard the largest divisible axis of big weight
+    matrices over the model axis; GSPMD then partitions the matmuls and
+    inserts the ICI collectives."""
+    model_axis = mesh.axis_names[1]
+    n = mesh.shape[model_axis]
+    if n <= 1 or not hasattr(x, "shape") or x.ndim == 0 or x.size < min_size:
+        return NamedSharding(mesh, P())
+    order = np.argsort(x.shape)[::-1]
+    for ax in order:
+        if x.shape[ax] % n == 0:
+            spec = [None] * x.ndim
+            spec[int(ax)] = model_axis
+            return NamedSharding(mesh, P(*spec))
+    return NamedSharding(mesh, P())
+
+
+def param_sharding_for(tree: Any, mesh: Mesh) -> Any:
+    """Parameter shardings: model-axis tensor parallelism when the mesh has a
+    non-trivial model axis, else full replication."""
+    return jax.tree_util.tree_map(lambda x: _model_spec(x, mesh), tree)
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Host batch (numpy) -> device arrays sharded on the data axis."""
+    def put(x):
+        return jax.device_put(x, data_sharding(mesh, np.ndim(x)))
+
+    return jax.tree_util.tree_map(put, batch)

@@ -1,0 +1,157 @@
+"""GE2E speaker-encoder training.
+
+Parity with reference preprocessing/encoder/train.py:18-133: step-based loop
+over (64 speakers x 10 utterances) batches; Adam(1e-4); the reference's
+`do_gradient_ops` (encoder/model.py:33-39) — similarity weight/bias gradients
+scaled by 0.01, then global-norm clipping at 3 — is reproduced as an optax
+chain inside ONE jitted step.  Resume loads `{step, model_state,
+optimizer_state}`; periodic save with immutable backups
+(encoder/train.py:105-131).  EER is computed host-side from the returned
+similarity matrix (eval/eer.py), never backpropagated.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization, struct
+
+from dvc_tpu.config import SpeakerEncoderConfig
+from dvc_tpu.eval.eer import ge2e_eer
+from dvc_tpu.models.speaker_encoder import SpeakerEncoder
+
+
+class GE2EState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+def _scale_similarity_grads(scale: float = 0.01) -> optax.GradientTransformation:
+    """Reference encoder/model.py:33-36: similarity params' grads x 0.01."""
+
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        def scale_leaf(path, g):
+            name = "/".join(str(p.key) if hasattr(p, "key") else str(p)
+                            for p in path)
+            if "similarity_weight" in name or "similarity_bias" in name:
+                return g * scale
+            return g
+
+        return jax.tree_util.tree_map_with_path(scale_leaf, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_ge2e_optimizer(lr: float = 1e-4) -> optax.GradientTransformation:
+    return optax.chain(
+        _scale_similarity_grads(0.01),
+        optax.clip_by_global_norm(3.0),   # encoder/model.py:39
+        optax.adam(lr),
+    )
+
+
+def create_ge2e_state(rng: jax.Array, cfg: SpeakerEncoderConfig
+                      ) -> tuple[SpeakerEncoder, GE2EState, optax.GradientTransformation]:
+    model = SpeakerEncoder(cfg)
+    dummy = jnp.zeros((2, cfg.partials_n_frames, cfg.mel_n_channels))
+    params = model.init(rng, dummy)["params"]
+    optimizer = make_ge2e_optimizer(cfg.learning_rate)
+    return model, GE2EState(step=jnp.zeros((), jnp.int32), params=params,
+                            opt_state=optimizer.init(params)), optimizer
+
+
+def make_ge2e_step(model: SpeakerEncoder, optimizer: optax.GradientTransformation,
+                   cfg: SpeakerEncoderConfig) -> Callable:
+    s, u = cfg.speakers_per_batch, cfg.utterances_per_speaker
+
+    def loss_fn(params, batch):
+        flat = batch.reshape(-1, batch.shape[-2], batch.shape[-1])
+        embeds = model.apply({"params": params}, flat)
+        embeds = embeds.reshape(batch.shape[0], batch.shape[1], -1)
+        loss, sim = model.apply({"params": params}, embeds, method="loss")
+        return loss, sim
+
+    def step(state: GE2EState, batch: jax.Array):
+        (loss, sim), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return GE2EState(step=state.step + 1, params=new_params,
+                         opt_state=new_opt), loss, sim
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+@dataclass
+class SpeakerEncoderTrainer:
+    cfg: SpeakerEncoderConfig
+    run_id: str = "ge2e"
+    models_dir: str = ""
+
+    def __post_init__(self):
+        self.model, self.state, self.optimizer = create_ge2e_state(
+            jax.random.PRNGKey(0), self.cfg)
+        self.step_fn = make_ge2e_step(self.model, self.optimizer, self.cfg)
+
+    # -- persistence ({step, model_state, optimizer_state}, train.py:47-54) --
+
+    @property
+    def _state_path(self) -> str:
+        return os.path.join(self.models_dir, f"{self.run_id}.msgpack")
+
+    def save(self, backup: bool = False) -> None:
+        os.makedirs(self.models_dir, exist_ok=True)
+        data = serialization.to_bytes(self.state)
+        with open(self._state_path, "wb") as f:
+            f.write(data)
+        if backup:
+            step = int(self.state.step)
+            with open(os.path.join(
+                    self.models_dir, f"{self.run_id}_bak_{step:06d}.msgpack"),
+                    "wb") as f:
+                f.write(data)
+
+    def resume(self) -> bool:
+        if not os.path.exists(self._state_path):
+            return False
+        with open(self._state_path, "rb") as f:
+            self.state = serialization.from_bytes(self.state, f.read())
+        return True
+
+    # -- loop ---------------------------------------------------------------
+
+    def train(self, sampler, n_steps: int, save_every: int = 500,
+              backup_every: int = 3000, log_every: int = 10,
+              logging_func=print) -> list[dict]:
+        history = []
+        t_last = time.time()
+        it = iter(sampler)
+        for _ in range(n_steps):
+            batch = jnp.asarray(next(it))
+            self.state, loss, sim = self.step_fn(self.state, batch)
+            step = int(self.state.step)
+            if step % log_every == 0:
+                loss_f = float(loss)
+                eer = ge2e_eer(np.asarray(sim), batch.shape[0], batch.shape[1])
+                dt = (time.time() - t_last) / log_every
+                t_last = time.time()
+                history.append({"step": step, "loss": loss_f, "eer": eer,
+                                "step_time_s": dt})
+                logging_func(f"step {step}: loss {loss_f:.4f} EER {eer:.4f} "
+                             f"({dt * 1000:.0f} ms/step)")
+            if self.models_dir and save_every and step % save_every == 0:
+                self.save()
+            if self.models_dir and backup_every and step % backup_every == 0:
+                self.save(backup=True)
+        return history

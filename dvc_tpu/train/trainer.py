@@ -1,0 +1,202 @@
+"""Jitted training runtime for the disentangled VAE.
+
+Replaces the eager per-batch loop of reference
+model/variational_base_vae.py:58-101 (host->device copy, forward, loss,
+backward, Adam step — all separate CUDA launches) with ONE compiled XLA
+program per step: forward(pair) + loss + grad + Adam fused, parameters
+donated, batch sharded over the mesh's data axis so gradients all-reduce on
+ICI automatically.
+
+Epoch/checkpoint semantics mirror run_training
+(model/variational_base_vae.py:156-203): epoch-indexed loop, per-epoch
+re-pairing of utterances, TensorBoard scalars with the same names, a
+checkpoint every report_interval epochs named `DisentangledVAE_VCTK_{epoch}`
+discovered latest-wins by parsing the epoch from the filename (:127-149).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from dvc_tpu.config import Config
+from dvc_tpu.models.disentangled_vae import DisentangledVAE
+from dvc_tpu.parallel.mesh import data_sharding, make_mesh, replicated, shard_batch
+from dvc_tpu.train.losses import LossTerms, gvae_pair_loss
+from dvc_tpu.train import checkpoint as ckpt_lib
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(rng: jax.Array, cfg: Config,
+                       optimizer: optax.GradientTransformation | None = None
+                       ) -> tuple[DisentangledVAE, TrainState, optax.GradientTransformation]:
+    model = DisentangledVAE(cfg.vae)
+    dummy = jnp.zeros((2, cfg.vae.num_mels, cfg.vae.frames), jnp.float32)
+    variables = model.init({"params": rng, "reparam": rng}, dummy, dummy, train=True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    if optimizer is None:
+        # torch.optim.Adam defaults (model/disentangled_vae.py:304)
+        optimizer = optax.adam(cfg.train.learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    opt_state = optimizer.init(params)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       batch_stats=batch_stats, opt_state=opt_state)
+    return model, state, optimizer
+
+
+def make_train_step(model: DisentangledVAE, optimizer: optax.GradientTransformation,
+                    mse_cof: float = 10.0, kl_cof: float = 10.0,
+                    compute_dtype: str = "float32",
+                    donate: bool = True, jit: bool = True) -> Callable:
+    """Build the (state, x1, x2, rng) -> (state, LossTerms) step.
+
+    jit=False returns the raw traceable function (for callers that jit with
+    explicit in_shardings/out_shardings over a mesh)."""
+
+    cast = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+
+    def loss_fn(params, batch_stats, x1, x2, rng):
+        outs, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x1.astype(cast), x2.astype(cast), train=True,
+            rngs={"reparam": rng}, mutable=["batch_stats"])
+        (rx1, rx2, rx1h, rx2h, q1m, q1l, q2m, q2l, smu, slv) = [
+            o.astype(jnp.float32) for o in outs]
+        terms = gvae_pair_loss(x1, x2, rx1, rx2, rx1h, rx2h,
+                               q1m, q1l, q2m, q2l, smu, slv,
+                               mse_cof=mse_cof, kl_cof=kl_cof)
+        return terms.total, (terms, mutated["batch_stats"])
+
+    def train_step(state: TrainState, x1, x2, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (terms, new_bs)), grads = grad_fn(
+            state.params, state.batch_stats, x1, x2, rng)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(step=state.step + 1, params=new_params,
+                          batch_stats=new_bs, opt_state=new_opt), terms
+
+    if not jit:
+        return train_step
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model: DisentangledVAE, mse_cof: float = 10.0,
+                   kl_cof: float = 10.0) -> Callable:
+    """Eval-mode step: running BN stats, no reparam noise (reference test()
+    path, model/variational_base_vae.py:105-123)."""
+
+    def eval_step(state: TrainState, x1, x2):
+        outs = model.apply({"params": state.params, "batch_stats": state.batch_stats},
+                           x1, x2, train=False)
+        (rx1, rx2, rx1h, rx2h, q1m, q1l, q2m, q2l, smu, slv) = outs
+        return gvae_pair_loss(x1, x2, rx1, rx2, rx1h, rx2h,
+                              q1m, q1l, q2m, q2l, smu, slv,
+                              mse_cof=mse_cof, kl_cof=kl_cof)
+
+    return jax.jit(eval_step)
+
+
+@dataclass
+class Trainer:
+    """Host-side training driver (mirrors run_training,
+    model/variational_base_vae.py:156-203)."""
+
+    cfg: Config
+    checkpoints_path: str = ""
+    logs_path: str = ""
+    run_name: str = "DisentangledVAE_VCTK"
+    use_mesh: bool = True
+
+    def __post_init__(self):
+        self.mesh = make_mesh(self.cfg.mesh) if self.use_mesh else None
+        rng = jax.random.PRNGKey(self.cfg.train.seed)
+        self.model, self.state, self.optimizer = create_train_state(rng, self.cfg)
+        self.train_step = make_train_step(
+            self.model, self.optimizer,
+            mse_cof=self.cfg.loss.mse_cof, kl_cof=self.cfg.loss.kl_cof,
+            compute_dtype=self.cfg.train.compute_dtype,
+            donate=self.cfg.train.donate_state)
+        self._rng = jax.random.PRNGKey(self.cfg.train.seed + 1)
+        self._writer = None
+
+    # -- checkpointing (latest-wins by epoch parsed from the filename) ------
+
+    def load_last(self) -> int:
+        if not self.checkpoints_path:
+            return 1
+        loaded = ckpt_lib.load_last_checkpoint(self.checkpoints_path, self.state)
+        if loaded is None:
+            return 1
+        epoch, self.state = loaded
+        return epoch + 1
+
+    def save(self, epoch: int) -> str:
+        return ckpt_lib.save_checkpoint(self.checkpoints_path, self.run_name,
+                                        epoch, self.state)
+
+    # -- epoch loops ---------------------------------------------------------
+
+    def train_epoch(self, dataset, epoch: int) -> dict[str, float]:
+        """One pass over the paired dataset; returns summed loss terms."""
+        totals = np.zeros(8, np.float64)
+        n_batches = 0
+        for x1, x2, _spk in dataset.batches(self.cfg.train.batch_size):
+            if self.mesh is not None:
+                x1, x2 = shard_batch((x1, x2), self.mesh)
+            self.state, terms = self.train_step(self.state, x1, x2, self._rng)
+            totals += np.asarray(jax.device_get(terms), np.float64)
+            n_batches += 1
+        dataset.shuffle_data()  # re-pair utterances (reference :96)
+        keys = LossTerms._fields
+        out = {k: float(v) for k, v in zip(keys, totals)}
+        out["n_batches"] = n_batches
+        return out
+
+    def run_training(self, dataset, epochs: int, report_interval: int | None = None,
+                     reload_model: bool = True, logging_func=print):
+        report_interval = report_interval or self.cfg.train.report_interval
+        start_epoch = self.load_last() if reload_model else 1
+        writer = self._get_writer()
+        for epoch in range(start_epoch, start_epoch + epochs):
+            t0 = time.time()
+            totals = self.train_epoch(dataset, epoch)
+            n = max(totals.pop("n_batches"), 1)
+            logging_func(
+                f"====> Epoch: {epoch} loss {totals['total'] / n:.4f} "
+                f"({time.time() - t0:.2f}s)")
+            if writer is not None:
+                # same scalar names as reference :187-191
+                writer.add_scalar("Loss\\Reconstruction Loss1", totals["mse_x1"] / n, epoch)
+                writer.add_scalar("Loss\\Reconstruction Loss2", totals["mse_x2"] / n, epoch)
+                writer.add_scalar("Loss\\Z1 KL Loss", totals["z1_kl"] / n, epoch)
+                writer.add_scalar("Loss\\Z2 KL Loss", totals["z2_kl"] / n, epoch)
+                writer.add_scalar("Loss\\Z KL Style", totals["z_style_kl"] / n, epoch)
+            if self.checkpoints_path and epoch % report_interval == 0:
+                self.save(epoch)
+        return self.state
+
+    def _get_writer(self):
+        if self._writer is None and self.logs_path:
+            try:
+                from tensorboardX import SummaryWriter
+                self._writer = SummaryWriter(f"{self.logs_path}/{self.run_name}")
+            except Exception:
+                self._writer = None
+        return self._writer

@@ -1,0 +1,67 @@
+"""Dependency-free WAV file IO (the reference leans on librosa/soundfile,
+neither of which is a dependency here).  Handles PCM16/24/32 and float32 RIFF
+wavs — enough for VCTK — via numpy + the stdlib `wave`/struct machinery."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def read_wav(path: str) -> tuple[np.ndarray, int]:
+    """Read a RIFF wav -> (float32 mono waveform in [-1, 1], sample_rate)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError(f"{path}: not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    raw = None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        body = data[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or raw is None:
+        raise ValueError(f"{path}: missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format == 3 or (audio_format == 0xFFFE and bits == 32):
+        wav = np.frombuffer(raw, dtype=np.float32).astype(np.float32)
+    elif bits == 16:
+        wav = np.frombuffer(raw, dtype=np.int16).astype(np.float32) / 32768.0
+    elif bits == 32:
+        wav = np.frombuffer(raw, dtype=np.int32).astype(np.float32) / 2147483648.0
+    elif bits == 24:
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        vals = (b[:, 0].astype(np.int32) | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16))
+        vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+        wav = vals.astype(np.float32) / float(1 << 23)
+    elif bits == 8:
+        wav = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"{path}: unsupported bit depth {bits}")
+    if channels > 1:
+        wav = wav.reshape(-1, channels).mean(axis=1)
+    return wav, sample_rate
+
+
+def write_wav(path: str, wav: np.ndarray, sample_rate: int = 16_000) -> None:
+    """Write float waveform as PCM16 (same convention as reference
+    preprocessing/utils.py:19-21: scale to int16 with clipping guard)."""
+    wav = np.asarray(wav, np.float64)
+    peak = max(0.01, float(np.max(np.abs(wav))) if wav.size else 0.01)
+    scaled = (wav * (32767 / max(1.0, peak / 1.0 if peak <= 1.0 else peak))
+              ).clip(-32768, 32767).astype(np.int16)
+    body = scaled.tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                 sample_rate * 2, 2, 16)
+    hdr += b"data" + struct.pack("<I", len(body))
+    with open(path, "wb") as f:
+        f.write(hdr + body)

@@ -1,0 +1,244 @@
+"""Numerical parity vs PyTorch: the torch->JAX converter's contract.
+
+These tests build small torch modules with the reference's exact layer
+semantics (Conv1d/Linear/LSTM/BatchNorm1d, gate order, weight_norm), convert
+their weights with utils/torch_convert, and assert our Flax modules produce
+the same outputs — the machinery that makes the published reference
+checkpoints (README.md:13-14) loadable.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from dvc_tpu.models.layers import LSTM, lstm_direction
+from dvc_tpu.utils.torch_convert import (
+    _conv1d,
+    _linear,
+    _lstm,
+    convert_disentangled_vae,
+    fuse_weight_norm,
+)
+
+RTOL, ATOL = 2e-4, 2e-5
+
+
+def _sd(mod):
+    return {k: v.detach().numpy() for k, v in mod.state_dict().items()}
+
+
+class TestLinearConvParity:
+    def test_linear(self):
+        torch.manual_seed(0)
+        lin = torch.nn.Linear(12, 7)
+        x = torch.randn(5, 12)
+        want = lin(x).detach().numpy()
+        p = _linear({"l.weight": _sd(lin)["weight"], "l.bias": _sd(lin)["bias"]}, "l")
+        got = np.asarray(jnp.asarray(x.numpy()) @ p["kernel"] + p["bias"])
+        np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
+
+    def test_conv1d_same_padding(self):
+        torch.manual_seed(1)
+        conv = torch.nn.Conv1d(6, 10, 5, padding=2)
+        x = torch.randn(2, 6, 16)
+        want = conv(x).detach().numpy()  # (B, C_out, T)
+        sd = {"c.weight": _sd(conv)["weight"], "c.bias": _sd(conv)["bias"]}
+        p = _conv1d(sd, "c")
+        out = jax.lax.conv_general_dilated(
+            jnp.asarray(x.numpy().transpose(0, 2, 1)),  # (B, T, C)
+            jnp.asarray(p["kernel"]), (1,), [(2, 2)],
+            dimension_numbers=("NHC", "HIO", "NHC")) + p["bias"]
+        got = np.asarray(out).transpose(0, 2, 1)
+        np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
+
+
+class TestLSTMParity:
+    @pytest.mark.parametrize("bidirectional", [False, True])
+    @pytest.mark.parametrize("num_layers", [1, 2])
+    def test_lstm_outputs_match(self, bidirectional, num_layers):
+        torch.manual_seed(2)
+        t_lstm = torch.nn.LSTM(10, 8, num_layers, batch_first=True,
+                               bidirectional=bidirectional)
+        x = torch.randn(3, 12, 10)
+        want, (h_want, c_want) = t_lstm(x)
+
+        params = _lstm(_sd(t_lstm), "", num_layers, bidirectional)
+        # strip the leading "." produced by empty prefix
+        params = {k: v for k, v in params.items()}
+        m = LSTM(8, num_layers=num_layers, bidirectional=bidirectional, unroll=1)
+        vars0 = m.init(jax.random.PRNGKey(0), jnp.asarray(x.numpy()))
+        assert set(vars0["params"].keys()) == set(params.keys())
+        got, (h_got, c_got) = m.apply({"params": params}, jnp.asarray(x.numpy()))
+        np.testing.assert_allclose(np.asarray(got), want.detach().numpy(),
+                                   rtol=RTOL, atol=ATOL)
+        # final hidden of last layer: torch h is (num_layers*dirs, B, H);
+        # ours is (dirs, B, H) of the last layer == torch's tail rows
+        dirs = 2 if bidirectional else 1
+        np.testing.assert_allclose(np.asarray(h_got),
+                                   h_want.detach().numpy()[-dirs:],
+                                   rtol=RTOL, atol=ATOL)
+
+
+class TestBatchNormParity:
+    def test_eval_mode_running_stats(self):
+        torch.manual_seed(3)
+        bn = torch.nn.BatchNorm1d(6)
+        # push some stats
+        bn.train()
+        for _ in range(3):
+            bn(torch.randn(4, 6, 10))
+        bn.eval()
+        x = torch.randn(2, 6, 10)
+        want = bn(x).detach().numpy()
+
+        sd = _sd(bn)
+        from flax import linen as nn
+        scale, bias = sd["weight"], sd["bias"]
+        mean, var = sd["running_mean"], sd["running_var"]
+        xj = jnp.asarray(x.numpy().transpose(0, 2, 1))  # (B, T, C)
+        got = (xj - mean) / jnp.sqrt(var + 1e-5) * scale + bias
+        np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), want,
+                                   rtol=RTOL, atol=ATOL)
+
+
+class TestWeightNorm:
+    def test_fuse_matches_torch(self):
+        torch.manual_seed(4)
+        conv = torch.nn.utils.weight_norm(torch.nn.Conv1d(4, 6, 3))
+        x = torch.randn(1, 4, 10)
+        want = conv(x).detach().numpy()
+        sd = fuse_weight_norm({
+            "c.weight_g": _sd(conv)["weight_g"],
+            "c.weight_v": _sd(conv)["weight_v"],
+            "c.bias": _sd(conv)["bias"]})
+        p = _conv1d(sd, "c")
+        out = jax.lax.conv_general_dilated(
+            jnp.asarray(x.numpy().transpose(0, 2, 1)), jnp.asarray(p["kernel"]),
+            (1,), [(0, 0)], dimension_numbers=("NHC", "HIO", "NHC")) + p["bias"]
+        np.testing.assert_allclose(np.asarray(out).transpose(0, 2, 1), want,
+                                   rtol=RTOL, atol=ATOL)
+
+
+class TestFullVAEConverter:
+    def test_encode_decode_parity(self):
+        """Build the reference DisentangledVAE graph in torch (from the SURVEY
+        dims), convert, and compare encode() and decode() end to end in eval
+        mode (BatchNorm running stats, no sampling noise)."""
+        import torch.nn as tnn
+        import torch.nn.functional as F
+
+        class TorchVAE(tnn.Module):
+            # mirror of reference model/disentangled_vae.py:124-248
+            def __init__(s, speaker=4, latent=32, neck=64, pre=512, frames=64):
+                super().__init__()
+                s.speaker, s.latent, s.neck = speaker, latent, neck
+                s.enc_modules = tnn.ModuleList([
+                    tnn.Sequential(
+                        tnn.Sequential(tnn.Conv1d(80 if i == 0 else 512, 512,
+                                                  5, 1, 2)),
+                        tnn.BatchNorm1d(512))
+                    for i in range(3)])
+                s.enc_lstm = tnn.LSTM(pre, neck, 2, batch_first=True,
+                                      bidirectional=True)
+                s.enc_linear = tnn.Linear(frames * 2 * neck, 2048)
+                s.style = tnn.Linear(2048, speaker * 2)
+                s.content = tnn.Linear(2048, (latent - speaker) * 2)
+                s.dec_pre_linear1 = tnn.Linear(latent, 2048)
+                s.dec_pre_linear2 = tnn.Linear(2048, frames * 2 * neck)
+                s.dec_lstm1 = tnn.LSTM(neck * 2, 512, 1, batch_first=True)
+                s.dec_modules = tnn.ModuleList([
+                    tnn.Sequential(tnn.Conv1d(pre, pre, 5, 1, 2),
+                                   tnn.BatchNorm1d(pre)) for _ in range(3)])
+                s.dec_lstm2 = tnn.LSTM(pre, 1024, 2, batch_first=True)
+                s.dec_linear2 = tnn.Linear(1024, 80)
+
+            def encode(s, x):
+                for m in s.enc_modules:
+                    x = F.relu(m(x))
+                x = x.transpose(1, 2)
+                out, _ = s.enc_lstm(x)
+                out = out.reshape(x.shape[0], -1)
+                out = F.relu(s.enc_linear(out))
+                st, ct = s.style(out), s.content(out)
+                k = s.speaker
+                return st[:, :k], st[:, k:], ct[:, :s.latent - k], ct[:, s.latent - k:]
+
+            def decode(s, z):
+                o = s.dec_pre_linear2(s.dec_pre_linear1(z))
+                o = o.view(z.shape[0], -1, s.neck * 2)
+                o, _ = s.dec_lstm1(o)
+                o = o.transpose(-1, -2)
+                for m in s.dec_modules:
+                    o = F.relu(m(o))
+                o = o.transpose(-1, -2)
+                o, _ = s.dec_lstm2(o)
+                return s.dec_linear2(o).transpose(-1, -2)
+
+        torch.manual_seed(5)
+        frames = 16  # small for CPU test speed
+        tm = TorchVAE(frames=frames).eval()
+        # exercise BN running stats
+        tm.train()
+        with torch.no_grad():
+            for _ in range(2):
+                x = torch.rand(4, 80, frames)
+                tm.encode(x)
+                tm.decode(torch.randn(4, 32))
+        tm.eval()
+
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        # rename enc conv path: test module uses nested Sequential to match
+        # reference's ConvNorm wrapper (enc_modules.{i}.0.conv.weight)
+        renamed = {}
+        for k, v in sd.items():
+            if k.startswith("enc_modules"):
+                k = k.replace(".0.0.weight", ".0.conv.weight")
+                k = k.replace(".0.0.bias", ".0.conv.bias")
+            # reference wraps these in LinearNorm (-> .linear_layer.)
+            for ln in ("enc_linear", "style", "content", "dec_linear2"):
+                k = k.replace(f"{ln}.weight", f"{ln}.linear_layer.weight")
+                k = k.replace(f"{ln}.bias", f"{ln}.linear_layer.bias")
+            renamed[k] = v
+        # postnet: reuse encoder-shaped BNs with identity weights (the
+        # converter requires them); build a zero postnet
+        for i in range(5):
+            cin, cout = (80, 512) if i == 0 else ((512, 80) if i == 4 else (512, 512))
+            renamed[f"postnet.convolutions.{i}.0.conv.weight"] = \
+                np.zeros((cout, cin, 5), np.float32)
+            renamed[f"postnet.convolutions.{i}.0.conv.bias"] = \
+                np.zeros((cout,), np.float32)
+            renamed[f"postnet.convolutions.{i}.1.weight"] = np.ones((cout,), np.float32)
+            renamed[f"postnet.convolutions.{i}.1.bias"] = np.zeros((cout,), np.float32)
+            renamed[f"postnet.convolutions.{i}.1.running_mean"] = \
+                np.zeros((cout,), np.float32)
+            renamed[f"postnet.convolutions.{i}.1.running_var"] = \
+                np.ones((cout,), np.float32)
+
+        params, batch_stats = convert_disentangled_vae(renamed)
+
+        from dvc_tpu.config import VAEConfig
+        from dvc_tpu.models import DisentangledVAE
+        cfg = VAEConfig(frames=frames)
+        model = DisentangledVAE(cfg)
+        variables = {"params": params, "batch_stats": batch_stats}
+
+        x = torch.rand(3, 80, frames)
+        with torch.no_grad():
+            smu_t, slv_t, cmu_t, clv_t = tm.encode(x)
+        smu, slv, cmu, clv = model.apply(variables, jnp.asarray(x.numpy()),
+                                         method="encode")
+        np.testing.assert_allclose(np.asarray(smu), smu_t.numpy(),
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(cmu), cmu_t.numpy(),
+                                   rtol=1e-3, atol=1e-4)
+
+        z = torch.randn(3, 32)
+        with torch.no_grad():
+            dec_t = tm.decode(z)
+        dec = model.apply(variables, jnp.asarray(z.numpy()), method="decode")
+        np.testing.assert_allclose(np.asarray(dec), dec_t.numpy(),
+                                   rtol=1e-3, atol=1e-4)
