@@ -1,0 +1,274 @@
+"""Fused Pallas TPU kernel: WaveNet autoregressive MoL generation.
+
+This replaces the reference's sample-serial Python `incremental_forward`
+(preprocessing/processing.py:45-74 — the dominating cost of the whole
+conversion path, SURVEY.md §3.2) with ONE Pallas kernel for the entire
+generation:
+
+  * grid = (T_samples, n_layers), executed serially on the core — the
+    autoregressive dependence lives in VMEM scratch between grid steps;
+  * per-layer dilated-conv state is a VMEM ring buffer (the fast-wavenet
+    queue): layer l keeps its last 2*dilation inputs; the write head is
+    t mod 2d, so no data ever shifts;
+  * the big per-layer weights (dilated conv + out projection) stream from
+    HBM via the grid's BlockSpec index_map — Pallas double-buffers the next
+    layer's block automatically while the MXU chews the current one, so the
+    kernel runs at the HBM-bandwidth speed-of-light for this serial model
+    (~weights_bytes / HBM_BW per sample, amortized over the whole batch);
+  * conditioning, small projections (cond/skip) and biases are VMEM-resident;
+  * mixture-of-logistics sampling happens in-kernel with the TPU PRNG
+    (pltpu.prng_seed / prng_random_bits), so no host round-trip per sample.
+
+Numerical contract: identical to models.wavenet.fast_generate (and therefore
+to the teacher-forced conv forward) up to the RNG stream, which here is the
+TPU hardware PRNG instead of jax.random.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dvc_tpu.config import VocoderConfig
+from dvc_tpu.models.wavenet import WaveNet
+
+SQRT_HALF = np.float32(math.sqrt(0.5))
+
+
+def pack_wavenet_params(params: dict, cfg: VocoderConfig,
+                        dtype=jnp.bfloat16) -> dict:
+    """Flax param tree -> packed, layer-stacked arrays for the kernel."""
+    L = cfg.layers
+
+    def p(*path):
+        t = params
+        for k in path:
+            t = t[k]
+        return np.asarray(t)
+
+    w_dil = np.stack([p(f"layer{i}", "conv", "kernel") for i in range(L)])
+    b_dil = np.stack([p(f"layer{i}", "conv", "bias") for i in range(L)])
+    w_c = np.stack([p(f"layer{i}", "conv1x1c", "kernel")[0] for i in range(L)])
+    w_skip = np.stack([p(f"layer{i}", "conv1x1_skip", "kernel")[0] for i in range(L)])
+    b_skip = np.stack([p(f"layer{i}", "conv1x1_skip", "bias") for i in range(L)])
+    w_out = np.stack([p(f"layer{i}", "conv1x1_out", "kernel")[0] for i in range(L)])
+    b_out = np.stack([p(f"layer{i}", "conv1x1_out", "bias") for i in range(L)])
+
+    dil = np.array([cfg.dilation(i) for i in range(L)], np.int32)
+    offs = np.concatenate([[0], np.cumsum(2 * dil)[:-1]]).astype(np.int32)
+
+    return {
+        # streamed per layer
+        "w_dil": jnp.asarray(w_dil, dtype),                  # (L, 3, R, G)
+        "w_out": jnp.asarray(w_out, dtype),                  # (L, G/2, R)
+        # VMEM-resident
+        "w_c": jnp.asarray(w_c, dtype),                      # (L, C, G)
+        "w_skip": jnp.asarray(w_skip, dtype),                # (L, G/2, S)
+        "b_dil": jnp.asarray(b_dil, jnp.float32),            # (L, G)
+        "b_skip": jnp.asarray(b_skip, jnp.float32),          # (L, S)
+        "b_out": jnp.asarray(b_out, jnp.float32),            # (L, R)
+        "w_first": jnp.asarray(p("first_conv", "kernel")[0], jnp.float32),  # (1, R)
+        "b_first": jnp.asarray(p("first_conv", "bias"), jnp.float32),
+        "w_f1": jnp.asarray(p("final1", "kernel")[0], dtype),  # (S, S)
+        "b_f1": jnp.asarray(p("final1", "bias"), jnp.float32),
+        "w_f2": jnp.asarray(p("final2", "kernel")[0], jnp.float32),  # (S, K)
+        "b_f2": jnp.asarray(p("final2", "bias"), jnp.float32),
+        "dil": jnp.asarray(dil),                             # (L,) SMEM
+        "offs": jnp.asarray(offs),                           # (L,) SMEM
+        "buf_total": int((2 * dil).sum()),
+    }
+
+
+def _uniform_from_bits(bits):
+    """uint32 random bits -> uniform floats in (eps, 1-eps)."""
+    f = bits.astype(jnp.float32) * (1.0 / 4294967296.0) + 0.5
+    return jnp.clip(f, 1e-5, 1.0 - 1e-5)
+
+
+def _make_kernel(cfg: VocoderConfig, t_total: int, batch: int,
+                 deterministic: bool = False):
+    L = cfg.layers
+    R = cfg.residual_channels
+    G = cfg.gate_channels
+    G2 = G // 2
+    S = cfg.skip_out_channels
+    K = cfg.out_channels
+    nr_mix = K // 3
+    legacy = cfg.legacy
+    log_scale_min = np.float32(cfg.log_scale_min)
+
+    def kernel(dil_ref, offs_ref, seed_ref,               # scalar prefetch (SMEM)
+               cond_ref,                                   # (B, 1, C) VMEM, idx t
+               w_dil_ref,                                  # (1, 3, R, G) VMEM, idx l
+               w_out_ref,                                  # (1, G2, R) VMEM, idx l
+               w_c_ref, w_skip_ref,                        # resident (L, C, G), (L, G2, S)
+               b_dil_ref, b_skip_ref, b_out_ref,           # resident biases
+               w_first_ref, b_first_ref, w_f1_ref, b_f1_ref, w_f2_ref, b_f2_ref,
+               out_ref,                                    # (B, 1) VMEM, idx t
+               bufs, h_scr, skip_scr, x_prev):             # scratch
+        t = pl.program_id(0)
+        l = pl.program_id(1)
+
+        @pl.when((t == 0) & (l == 0))
+        def _init():
+            if not deterministic:
+                pltpu.prng_seed(seed_ref[0])
+            bufs[...] = jnp.zeros_like(bufs)
+            x_prev[...] = jnp.zeros_like(x_prev)
+
+        @pl.when(l == 0)
+        def _first():
+            # first_conv (k=1): (B,1) x (1,R)
+            h_scr[...] = (jnp.dot(x_prev[...], w_first_ref[...],
+                                  preferred_element_type=jnp.float32)
+                          + b_first_ref[...])
+            skip_scr[...] = jnp.zeros_like(skip_scr)
+
+        d = dil_ref[l]
+        off = offs_ref[l]
+        two_d = 2 * d
+        wp = jax.lax.rem(t, two_d)                 # write head == x_{t-2d} slot
+        tap_d = off + jax.lax.rem(wp + d, two_d)   # x_{t-d}
+        tap_2d = off + wp                          # x_{t-2d}
+
+        h_in = h_scr[...]                          # (B, R) f32 — layer input
+        x_tm2d = bufs[pl.ds(tap_2d, 1)][0].astype(jnp.float32)
+        x_tmd = bufs[pl.ds(tap_d, 1)][0].astype(jnp.float32)
+
+        w = w_dil_ref[0]                           # (3, R, G)
+        conv = (jnp.dot(x_tm2d.astype(w.dtype), w[0], preferred_element_type=jnp.float32)
+                + jnp.dot(x_tmd.astype(w.dtype), w[1], preferred_element_type=jnp.float32)
+                + jnp.dot(h_in.astype(w.dtype), w[2], preferred_element_type=jnp.float32)
+                + b_dil_ref[pl.ds(l, 1)][0]
+                + jnp.dot(cond_ref[:, 0, :].astype(w.dtype), w_c_ref[l],
+                          preferred_element_type=jnp.float32))
+        a = conv[:, :G2]
+        g = conv[:, G2:]
+        gated = jnp.tanh(a) * jax.nn.sigmoid(g)    # (B, G2) f32
+
+        s = (jnp.dot(gated.astype(w_skip_ref.dtype), w_skip_ref[l],
+                     preferred_element_type=jnp.float32)
+             + b_skip_ref[pl.ds(l, 1)][0])
+        res = (jnp.dot(gated.astype(w_out_ref.dtype), w_out_ref[0],
+                       preferred_element_type=jnp.float32)
+               + b_out_ref[pl.ds(l, 1)][0])
+
+        # push this layer's input into its ring buffer (overwrites x_{t-2d})
+        bufs[pl.ds(tap_2d, 1)] = h_in.astype(bufs.dtype)[None]
+
+        h_scr[...] = (res + h_in) * SQRT_HALF
+        if legacy:
+            # skips = (skips + s) * sqrt(0.5) after the first accumulation
+            prev = skip_scr[...]
+            acc = jnp.where(l == 0, s, (prev + s) * SQRT_HALF)
+            skip_scr[...] = acc
+        else:
+            skip_scr[...] = jnp.where(l == 0, s, skip_scr[...] + s)
+
+        @pl.when(l == L - 1)
+        def _final():
+            o = jax.nn.relu(skip_scr[...])
+            o = jax.nn.relu(jnp.dot(o.astype(w_f1_ref.dtype), w_f1_ref[...],
+                                    preferred_element_type=jnp.float32)
+                            + b_f1_ref[...])
+            y_hat = jnp.dot(o, w_f2_ref[...],
+                            preferred_element_type=jnp.float32) + b_f2_ref[...]
+            # MoL sampling (B, K): gumbel-max mixture + logistic inverse CDF.
+            # deterministic mode (CPU-interpret tests / greedy decode): u == 0.5
+            # -> gumbel ties resolve to argmax(logit), logistic term == 0.
+            logit = y_hat[:, :nr_mix]
+            if deterministic:
+                gumb = jnp.zeros_like(logit)
+            else:
+                u1 = _uniform_from_bits(pltpu.bitcast(
+                    pltpu.prng_random_bits((batch, nr_mix)), jnp.int32))
+                gumb = -jnp.log(-jnp.log(u1))
+            sel_idx = jnp.argmax(logit + gumb, axis=-1)
+            onehot = (jax.lax.broadcasted_iota(jnp.int32, (batch, nr_mix), 1)
+                      == sel_idx[:, None]).astype(jnp.float32)
+            mean = jnp.sum(y_hat[:, nr_mix:2 * nr_mix] * onehot, axis=-1)
+            log_s = jnp.maximum(
+                jnp.sum(y_hat[:, 2 * nr_mix:] * onehot, axis=-1), log_scale_min)
+            if deterministic:
+                x = mean
+            else:
+                u2 = _uniform_from_bits(pltpu.bitcast(
+                    pltpu.prng_random_bits((batch, nr_mix)), jnp.int32))[:, 0]
+                x = mean + jnp.exp(log_s) * (jnp.log(u2) - jnp.log1p(-u2))
+            x = jnp.clip(x, -1.0, 1.0)
+            x_prev[...] = x[:, None]
+            out_ref[...] = x[:, None]
+
+    return kernel
+
+
+def pallas_generate(variables: dict, c_frames: jax.Array, seed: int,
+                    cfg: VocoderConfig = VocoderConfig(),
+                    interpret: bool = False,
+                    weight_dtype=jnp.bfloat16,
+                    deterministic: bool = False) -> jax.Array:
+    """(B, T_frames, n_mels) mel -> (B, T_frames * hop) sampled waveform."""
+    packed = pack_wavenet_params(variables["params"], cfg, weight_dtype)
+    # upsample conditioning once, batched, outside the kernel
+    from flax import linen as nn
+    up = nn.apply(lambda m, c: m.upsample(c), WaveNet(cfg))
+    cond = up(variables, c_frames)  # (B, T, C)
+    b, t_total, C = cond.shape
+
+    L = cfg.layers
+    R = cfg.residual_channels
+    G = cfg.gate_channels
+    G2 = G // 2
+    S = cfg.skip_out_channels
+
+    kernel = _make_kernel(cfg, t_total, b, deterministic=deterministic)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # dil, offs, seed
+        grid=(t_total, L),
+        in_specs=[
+            pl.BlockSpec((b, 1, C), lambda t, l, *_: (0, t, 0),
+                         memory_space=pltpu.VMEM),            # cond
+            pl.BlockSpec((1, 3, R, G), lambda t, l, *_: (l, 0, 0, 0),
+                         memory_space=pltpu.VMEM),            # w_dil stream
+            pl.BlockSpec((1, G2, R), lambda t, l, *_: (l, 0, 0),
+                         memory_space=pltpu.VMEM),            # w_out stream
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # w_c resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # w_skip resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # b_dil
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # b_skip
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # b_out
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # w_first
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # b_first
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # w_f1
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # b_f1
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # w_f2
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # b_f2
+        ],
+        out_specs=pl.BlockSpec((b, 1), lambda t, l, *_: (0, t),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((packed["buf_total"], b, R), weight_dtype),  # ring buffers
+            pltpu.VMEM((b, R), jnp.float32),                        # h carry
+            pltpu.VMEM((b, S), jnp.float32),                        # skip acc
+            pltpu.VMEM((b, 1), jnp.float32),                        # x_prev
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, t_total), jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(packed["dil"], packed["offs"], jnp.asarray([seed], jnp.int32),
+      cond.astype(jnp.float32),
+      packed["w_dil"], packed["w_out"], packed["w_c"], packed["w_skip"],
+      packed["b_dil"], packed["b_skip"], packed["b_out"],
+      packed["w_first"], packed["b_first"], packed["w_f1"], packed["b_f1"],
+      packed["w_f2"], packed["b_f2"])
+    return out

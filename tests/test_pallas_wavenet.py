@@ -1,0 +1,74 @@
+"""Parity test for the fused Pallas WaveNet AR kernel (interpret mode on CPU).
+
+Sampling is made deterministic by construction — the final projection is
+doctored so mixture 0 always dominates (logit +10 vs -10) and every
+log-scale is pinned to -40 (scale e^-40 ~ 0) — so the sampled value equals
+the selected mixture's mean regardless of the RNG stream.  The full AR
+dynamics (ring buffers, gating, skip/residual chain) then produce an exact
+trajectory that the Pallas kernel and the lax.scan reference sampler must
+both reproduce.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dvc_tpu.config import VocoderConfig
+from dvc_tpu.kernels.wavenet_step import pallas_generate
+from dvc_tpu.models.wavenet import WaveNet, fast_generate
+
+TINY = VocoderConfig(layers=4, stacks=2, residual_channels=16, gate_channels=16,
+                     skip_out_channels=8, cin_channels=4,
+                     upsample_scales=(2, 2), out_channels=6)
+
+
+def _deterministic_variables(cfg, rng_key):
+    model = WaveNet(cfg)
+    hop = int(np.prod(cfg.upsample_scales))
+    c = jnp.ones((1, 3, cfg.cin_channels))
+    x = jnp.zeros((1, 3 * hop, 1))
+    variables = jax.device_get(model.init(rng_key, x, c))
+    params = jax.tree_util.tree_map(np.array, variables["params"])
+    nr_mix = cfg.out_channels // 3
+    # final2: zero the logit and scale columns; dominant mixture 0, scale -40
+    k = params["final2"]["kernel"]  # (1, S, K)
+    b = params["final2"]["bias"]
+    k[..., :nr_mix] = 0.0
+    k[..., 2 * nr_mix:] = 0.0
+    b[:nr_mix] = -10.0
+    b[0] = 10.0
+    b[2 * nr_mix:] = -40.0
+    # scale up the mean columns so the trajectory is non-trivial
+    k[..., nr_mix:2 * nr_mix] *= 20.0
+    return {"params": params}
+
+
+class TestPallasWaveNet:
+    def test_matches_scan_sampler(self):
+        cfg = TINY
+        variables = _deterministic_variables(cfg, jax.random.PRNGKey(0))
+        c = jnp.asarray(np.random.RandomState(0).rand(2, 3, cfg.cin_channels),
+                        jnp.float32)
+        want = fast_generate(variables, c, jax.random.PRNGKey(7), cfg)
+        got = pallas_generate(variables, c, seed=123, cfg=cfg,
+                              interpret=True, weight_dtype=jnp.float32,
+                              deterministic=True)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+        # trajectory must actually move (not all-zero / constant)
+        assert float(jnp.std(want)) > 1e-4
+
+    def test_bf16_weights_close(self):
+        cfg = TINY
+        variables = _deterministic_variables(cfg, jax.random.PRNGKey(1))
+        c = jnp.asarray(np.random.RandomState(1).rand(1, 2, cfg.cin_channels),
+                        jnp.float32)
+        want = fast_generate(variables, c, jax.random.PRNGKey(3), cfg)
+        got = pallas_generate(variables, c, seed=5, cfg=cfg,
+                              interpret=True, weight_dtype=jnp.bfloat16,
+                              deterministic=True)
+        # bf16 weight rounding: trajectories drift but stay close at this depth
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=0.15)
