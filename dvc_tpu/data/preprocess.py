@@ -56,15 +56,38 @@ def _bucket_len(n: int, quantum: int = 1 << 14) -> int:
 
 
 class BatchedMelExtractor:
-    """Accelerator-batched mel extraction over length-bucketed wavs."""
+    """Batched mel extraction over length-bucketed wavs.
 
-    def __init__(self, cfg: AudioConfig = AudioConfig(), batch_size: int = 16):
+    backend="jax" runs on the accelerator (one jitted program per bucket
+    shape); backend="native" uses the in-repo C++ engine
+    (dvc_tpu/native/dvc_dsp.cpp) with a host thread pool — useful when the
+    accelerator is busy training; backend="auto" prefers native for small
+    batches (no compile latency) and jax otherwise.
+    """
+
+    def __init__(self, cfg: AudioConfig = AudioConfig(), batch_size: int = 16,
+                 backend: str = "jax"):
         self.cfg = cfg
         self.batch_size = batch_size
+        self.backend = backend
         self._jit = jax.jit(lambda w: melspectrogram(w, cfg))
 
     def __call__(self, wavs: list[np.ndarray]) -> list[np.ndarray]:
         """List of float32 wavs -> list of (n_mels, T_i) mels (same order)."""
+        if not wavs:
+            return []
+        backend = self.backend
+        if backend == "auto":
+            from dvc_tpu import native
+            backend = "native" if (native.available() and len(wavs) < 64) else "jax"
+        if backend == "native":
+            from dvc_tpu import native
+            c = self.cfg
+            return native.melspectrogram_batch(
+                wavs, sample_rate=c.sample_rate, fft_size=c.fft_size,
+                hop_size=c.hop_size, num_mels=c.num_mels, fmin=c.fmin,
+                fmax=c.fmax, min_level_db=c.min_level_db,
+                ref_level_db=c.ref_level_db)
         order = np.argsort([len(w) for w in wavs])
         out: list[np.ndarray | None] = [None] * len(wavs)
         i = 0

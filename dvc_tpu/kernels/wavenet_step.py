@@ -74,11 +74,11 @@ def pack_wavenet_params(params: dict, cfg: VocoderConfig,
         "b_skip": jnp.asarray(b_skip, jnp.float32),          # (L, S)
         "b_out": jnp.asarray(b_out, jnp.float32),            # (L, R)
         "w_first": jnp.asarray(p("first_conv", "kernel")[0], jnp.float32),  # (1, R)
-        "b_first": jnp.asarray(p("first_conv", "bias"), jnp.float32),
+        "b_first": jnp.asarray(p("first_conv", "bias"), jnp.float32)[None, :],
         "w_f1": jnp.asarray(p("final1", "kernel")[0], dtype),  # (S, S)
-        "b_f1": jnp.asarray(p("final1", "bias"), jnp.float32),
+        "b_f1": jnp.asarray(p("final1", "bias"), jnp.float32)[None, :],
         "w_f2": jnp.asarray(p("final2", "kernel")[0], jnp.float32),  # (S, K)
-        "b_f2": jnp.asarray(p("final2", "bias"), jnp.float32),
+        "b_f2": jnp.asarray(p("final2", "bias"), jnp.float32)[None, :],
         "dil": jnp.asarray(dil),                             # (L,) SMEM
         "offs": jnp.asarray(offs),                           # (L,) SMEM
         "buf_total": int((2 * dil).sum()),
@@ -104,13 +104,13 @@ def _make_kernel(cfg: VocoderConfig, t_total: int, batch: int,
     log_scale_min = np.float32(cfg.log_scale_min)
 
     def kernel(dil_ref, offs_ref, seed_ref,               # scalar prefetch (SMEM)
-               cond_ref,                                   # (B, 1, C) VMEM, idx t
+               cond_ref,                                   # (1, B, C) VMEM, idx t
                w_dil_ref,                                  # (1, 3, R, G) VMEM, idx l
                w_out_ref,                                  # (1, G2, R) VMEM, idx l
                w_c_ref, w_skip_ref,                        # resident (L, C, G), (L, G2, S)
                b_dil_ref, b_skip_ref, b_out_ref,           # resident biases
                w_first_ref, b_first_ref, w_f1_ref, b_f1_ref, w_f2_ref, b_f2_ref,
-               out_ref,                                    # (B, 1) VMEM, idx t
+               out_ref,                                    # (1, 1, B) VMEM, idx t
                bufs, h_scr, skip_scr, x_prev):             # scratch
         t = pl.program_id(0)
         l = pl.program_id(1)
@@ -124,10 +124,9 @@ def _make_kernel(cfg: VocoderConfig, t_total: int, batch: int,
 
         @pl.when(l == 0)
         def _first():
-            # first_conv (k=1): (B,1) x (1,R)
-            h_scr[...] = (jnp.dot(x_prev[...], w_first_ref[...],
-                                  preferred_element_type=jnp.float32)
-                          + b_first_ref[...])
+            # first_conv (k=1): per-sample scalar input scales the weight row
+            x_col = x_prev[:, :1]  # (B, 1); lanes 1.. are copies
+            h_scr[...] = x_col * w_first_ref[0][None, :] + b_first_ref[0][None, :]
             skip_scr[...] = jnp.zeros_like(skip_scr)
 
         d = dil_ref[l]
@@ -146,7 +145,7 @@ def _make_kernel(cfg: VocoderConfig, t_total: int, batch: int,
                 + jnp.dot(x_tmd.astype(w.dtype), w[1], preferred_element_type=jnp.float32)
                 + jnp.dot(h_in.astype(w.dtype), w[2], preferred_element_type=jnp.float32)
                 + b_dil_ref[pl.ds(l, 1)][0]
-                + jnp.dot(cond_ref[:, 0, :].astype(w.dtype), w_c_ref[l],
+                + jnp.dot(cond_ref[0].astype(w.dtype), w_c_ref[l],
                           preferred_element_type=jnp.float32))
         a = conv[:, :G2]
         g = conv[:, G2:]
@@ -176,9 +175,9 @@ def _make_kernel(cfg: VocoderConfig, t_total: int, batch: int,
             o = jax.nn.relu(skip_scr[...])
             o = jax.nn.relu(jnp.dot(o.astype(w_f1_ref.dtype), w_f1_ref[...],
                                     preferred_element_type=jnp.float32)
-                            + b_f1_ref[...])
+                            + b_f1_ref[0][None, :])
             y_hat = jnp.dot(o, w_f2_ref[...],
-                            preferred_element_type=jnp.float32) + b_f2_ref[...]
+                            preferred_element_type=jnp.float32) + b_f2_ref[0][None, :]
             # MoL sampling (B, K): gumbel-max mixture + logistic inverse CDF.
             # deterministic mode (CPU-interpret tests / greedy decode): u == 0.5
             # -> gumbel ties resolve to argmax(logit), logistic term == 0.
@@ -202,8 +201,8 @@ def _make_kernel(cfg: VocoderConfig, t_total: int, batch: int,
                     pltpu.prng_random_bits((batch, nr_mix)), jnp.int32))[:, 0]
                 x = mean + jnp.exp(log_s) * (jnp.log(u2) - jnp.log1p(-u2))
             x = jnp.clip(x, -1.0, 1.0)
-            x_prev[...] = x[:, None]
-            out_ref[...] = x[:, None]
+            x_prev[...] = jnp.broadcast_to(x[:, None], x_prev.shape)
+            out_ref[...] = x[None, None, :]
 
     return kernel
 
@@ -232,8 +231,8 @@ def pallas_generate(variables: dict, c_frames: jax.Array, seed: int,
         num_scalar_prefetch=3,  # dil, offs, seed
         grid=(t_total, L),
         in_specs=[
-            pl.BlockSpec((b, 1, C), lambda t, l, *_: (0, t, 0),
-                         memory_space=pltpu.VMEM),            # cond
+            pl.BlockSpec((1, b, C), lambda t, l, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),            # cond (T, B, C)
             pl.BlockSpec((1, 3, R, G), lambda t, l, *_: (l, 0, 0, 0),
                          memory_space=pltpu.VMEM),            # w_dil stream
             pl.BlockSpec((1, G2, R), lambda t, l, *_: (l, 0, 0),
@@ -250,25 +249,25 @@ def pallas_generate(variables: dict, c_frames: jax.Array, seed: int,
             pl.BlockSpec(memory_space=pltpu.VMEM),            # w_f2
             pl.BlockSpec(memory_space=pltpu.VMEM),            # b_f2
         ],
-        out_specs=pl.BlockSpec((b, 1), lambda t, l, *_: (0, t),
+        out_specs=pl.BlockSpec((1, 1, b), lambda t, l, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((packed["buf_total"], b, R), weight_dtype),  # ring buffers
             pltpu.VMEM((b, R), jnp.float32),                        # h carry
             pltpu.VMEM((b, S), jnp.float32),                        # skip acc
-            pltpu.VMEM((b, 1), jnp.float32),                        # x_prev
+            pltpu.VMEM((b, 128), jnp.float32),                      # x_prev (lane-padded)
         ],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, t_total), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t_total, 1, b), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(packed["dil"], packed["offs"], jnp.asarray([seed], jnp.int32),
-      cond.astype(jnp.float32),
+      jnp.swapaxes(cond, 0, 1).astype(jnp.float32),   # (T, B, C)
       packed["w_dil"], packed["w_out"], packed["w_c"], packed["w_skip"],
       packed["b_dil"], packed["b_skip"], packed["b_out"],
       packed["w_first"], packed["b_first"], packed["w_f1"], packed["b_f1"],
       packed["w_f2"], packed["b_f2"])
-    return out
+    return out[:, 0, :].T  # (B, T)

@@ -192,6 +192,36 @@ class Trainer:
                 self.save(epoch)
         return self.state
 
+    def estimate_trained_model(self, dataset, estimation_dir: str,
+                               n_images: int = 5) -> int:
+        """Reload the latest checkpoint, reconstruct one batch in eval mode,
+        and dump original/reconstructed mel pngs (parity with reference
+        estimate_trained_model, model/variational_base_vae.py:205-239)."""
+        import os
+        epoch = self.load_last() - 1
+        os.makedirs(estimation_dir, exist_ok=True)
+        x1, x2, _ = next(iter(dataset.batches(self.cfg.train.batch_size,
+                                              shuffle=False)))
+        variables = {"params": self.state.params,
+                     "batch_stats": self.state.batch_stats}
+        outs = self.model.apply(variables, jnp.asarray(x1), jnp.asarray(x2),
+                                train=False)
+        recons_x1 = np.asarray(outs[0])
+        try:
+            from dvc_tpu.utils.plotting import save_mel_png
+            for i in range(min(n_images, len(x1))):
+                save_mel_png(recons_x1[i],
+                             os.path.join(estimation_dir,
+                                          f"{epoch}_recons_mel_{i}.png"),
+                             "reconstructed mel spectrogram")
+                save_mel_png(x1[i],
+                             os.path.join(estimation_dir,
+                                          f"{epoch}_original_mel_{i}.png"),
+                             "original mel spectrogram")
+        except Exception:
+            pass
+        return epoch
+
     def _get_writer(self):
         if self._writer is None and self.logs_path:
             try:
