@@ -112,6 +112,14 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def _run_world(args) -> None:
+    from dvc_tpu.data.world_preprocess import preprocess_world_dataset
+    for s in preprocess_world_dataset(args.dataset_fp, args.out_dir,
+                                      num_mcep=args.num_mcep):
+        print(f"{s['speaker']}: {s['n_files']} files, "
+              f"logf0 {s['logf0_mean']:.3f}±{s['logf0_std']:.3f}")
+
+
 def cmd_eval_mcd(args) -> int:
     from glob import glob
     import numpy as np
@@ -152,6 +160,12 @@ def main(argv=None) -> int:
     p.add_argument("-s", "--skip_existing", action="store_true")
     p.add_argument("--no_trim", action="store_true")
     p.set_defaults(fn=cmd_preprocess)
+
+    p = sub.add_parser("preprocess-world")
+    p.add_argument("dataset_fp")
+    p.add_argument("-o", "--out_dir", required=True)
+    p.add_argument("--num_mcep", type=int, default=36)
+    p.set_defaults(fn=lambda a: (_run_world(a), 0)[1])
 
     p = sub.add_parser("train")
     _add_train_args(p)

@@ -38,14 +38,32 @@ def load_vocoder_params(ckpt_path: str, cfg: VocoderConfig = VocoderConfig()) ->
 
 
 def make_vocoder(ckpt_path: str, cfg: VocoderConfig = VocoderConfig(),
-                 seed: int = 0) -> Callable[[np.ndarray], np.ndarray]:
-    """Returns wavegen: (80, T) normalized mel -> (T * 256,) float waveform."""
+                 seed: int = 0, backend: str = "auto",
+                 pad_frames_to: int = 32) -> Callable[[np.ndarray], np.ndarray]:
+    """Returns wavegen: (80, T) normalized mel -> (T * 256,) float waveform.
+
+    backend: "pallas" (fused TPU kernel), "scan" (lax.scan sampler, any
+    backend), or "auto" (pallas on TPU, scan elsewhere).  Mel frames are
+    zero-padded to `pad_frames_to` buckets so utterances of any length reuse
+    a handful of compiled programs; the waveform is cropped to the true
+    T * hop samples.
+    """
     variables = load_vocoder_params(ckpt_path, cfg)
     rng = jax.random.PRNGKey(seed)
+    hop = int(np.prod(cfg.upsample_scales))
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "scan"
 
     def wavegen(mel: np.ndarray) -> np.ndarray:
-        c = jnp.asarray(mel, jnp.float32).T[None]  # (1, T, 80)
-        wav = fast_generate(variables, c, rng, cfg)
-        return np.asarray(wav[0])
+        t = mel.shape[1]
+        bucket = -(-t // pad_frames_to) * pad_frames_to
+        c = np.zeros((1, bucket, mel.shape[0]), np.float32)
+        c[0, :t] = np.asarray(mel, np.float32).T
+        if backend == "pallas":
+            from dvc_tpu.kernels.wavenet_step import pallas_generate
+            wav = pallas_generate(variables, jnp.asarray(c), seed, cfg)
+        else:
+            wav = fast_generate(variables, jnp.asarray(c), rng, cfg)
+        return np.asarray(wav[0, : t * hop])
 
     return wavegen

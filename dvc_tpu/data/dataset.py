@@ -120,6 +120,16 @@ class _PairedDatasetBase:
         return self._read(os.path.join(self.file_path, speaker, utterance))
 
 
+def speaker_to_onehot_ids(speaker_ids, speaker_all, num_utterance: int = 40
+                          ) -> np.ndarray:
+    """Per-utterance integer speaker labels (reference speaker_to_onehot,
+    preprocessing/dataset.py:254-265 — despite the name it returns indices)."""
+    out = np.empty(len(speaker_ids) * num_utterance, np.int16)
+    for j, spk in enumerate(speaker_ids):
+        out[j * num_utterance:(j + 1) * num_utterance] = speaker_all.index(spk)
+    return out
+
+
 class PairedMelDataset(_PairedDatasetBase):
     """Mel (.npy, (80, T)) pairs — reference SpeechDatasetGVAE."""
 

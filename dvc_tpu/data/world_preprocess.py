@@ -1,0 +1,81 @@
+"""Offline WORLD-feature preprocessing: wav -> per-utterance .npz.
+
+Parity with the reference's WORLD pipeline (preprocessing/WORLD_processing.py
+:262-299 `preprocess_voice` + the __main__ normalization path :302-348):
+per speaker, extract f0/sp/ap/mcc, fit per-speaker mcc mean/std and log-f0
+statistics, then write `<utt>.npz` with keys (f0, sp, ap, mcc,
+normalized_mc, mc_mean, mc_std) — the exact contract PairedMCCDataset
+(reference SpeechDatasetMCC2, preprocessing/dataset.py:126-247) reads.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+
+from dvc_tpu.config import AudioConfig
+from dvc_tpu.ops.world import (
+    logf0_statistics,
+    mcs_normalization_fit_transform,
+    world_encode_data,
+)
+from dvc_tpu.utils.wavio import read_wav
+
+
+def preprocess_world_speaker(speaker_dir: str, out_dir: str,
+                             sample_rate: int = 16_000, num_mcep: int = 36,
+                             frame_period: float = 5.0,
+                             save_sp_ap: bool = False) -> dict:
+    """One speaker directory of wavs -> npz features + stats files."""
+    spk = os.path.basename(os.path.normpath(speaker_dir))
+    spk_out = os.path.join(out_dir, spk)
+    os.makedirs(spk_out, exist_ok=True)
+
+    wav_fps = sorted(glob.glob(os.path.join(speaker_dir, "*.wav")))
+    feats = []
+    for fp in wav_fps:
+        wav, sr = read_wav(fp)
+        if sr != sample_rate:
+            from dvc_tpu.ops.audio import resample_poly
+            import jax.numpy as jnp
+            wav = np.asarray(resample_poly(jnp.asarray(wav), sr, sample_rate))
+        wav = wav / max(1e-8, np.abs(wav).max())  # librosa.util.normalize
+        f0, _, sp, ap, mc = world_encode_data(wav, sample_rate, frame_period,
+                                              num_mcep)
+        feats.append((fp, f0, sp, ap, mc))
+
+    # per-speaker statistics (reference :278-292 and the :340-346 norm path)
+    all_mc = np.concatenate([mc for _, _, _, _, mc in feats], axis=0)
+    _, mc_mean, mc_std = mcs_normalization_fit_transform(all_mc.T)
+    logf0_mean, logf0_std = logf0_statistics(
+        np.concatenate([f0 for _, f0, _, _, _ in feats]))
+    np.savez(os.path.join(out_dir, f"log_f0_{spk}.npz"),
+             mean=logf0_mean, std=logf0_std)
+    np.savez(os.path.join(out_dir, f"mcep_{spk}.npz"), mean=mc_mean, std=mc_std)
+
+    for fp, f0, sp, ap, mc in feats:
+        out_fn = os.path.splitext(os.path.basename(fp))[0] + ".npz"
+        normalized_mc = (mc - mc_mean.T) / mc_std.T  # (T, n_mcep)
+        payload = dict(f0=f0, mcc=mc, normalized_mc=normalized_mc,
+                       mc_mean=mc_mean.T, mc_std=mc_std.T)
+        if save_sp_ap:
+            payload.update(sp=sp, ap=ap)
+        np.savez(os.path.join(spk_out, out_fn), **payload)
+    return {"speaker": spk, "n_files": len(feats),
+            "logf0_mean": logf0_mean, "logf0_std": logf0_std}
+
+
+def preprocess_world_dataset(dataset_fp: str, out_dir: str,
+                             sample_rate: int = 16_000, num_mcep: int = 36,
+                             frame_period: float = 5.0) -> list[dict]:
+    """All speaker dirs under dataset_fp (reference :302-348 driver)."""
+    os.makedirs(out_dir, exist_ok=True)
+    stats = []
+    for d in sorted(os.listdir(dataset_fp)):
+        full = os.path.join(dataset_fp, d)
+        if os.path.isdir(full):
+            stats.append(preprocess_world_speaker(full, out_dir, sample_rate,
+                                                  num_mcep, frame_period))
+    return stats

@@ -1,0 +1,155 @@
+"""End-to-end pipeline tests: conversion driver, speaker-encoder training
+loop, WORLD preprocessing -> MCC dataset, feature selection."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dvc_tpu import config as C
+from dvc_tpu.convert.conversion import VoiceConverter, convert_mel
+from dvc_tpu.models.disentangled_vae import DisentangledVAE
+
+
+def tiny_vae():
+    cfg = C.VAEConfig(frames=16, dim_neck=8, enc_channels=32, dim_pre=32,
+                      dec_lstm2_hidden=32, postnet_channels=32)
+    model = DisentangledVAE(cfg)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((2, 80, 16))
+    variables = model.init({"params": rng, "reparam": rng}, x, x, train=True)
+    return cfg, model, variables
+
+
+class TestConvertMel:
+    def test_shapes_and_range(self):
+        cfg, model, variables = tiny_vae()
+        src = np.random.RandomState(0).rand(80, 40).astype(np.float32)
+        trg = np.random.RandomState(1).rand(80, 25).astype(np.float32)
+        recons, converted = convert_mel(model, variables, src, trg, frames=16)
+        # reference chunking: T//frames + 1 chunks, concat back on time
+        assert converted.shape == (80, (40 // 16 + 1) * 16)
+        assert recons.shape == converted.shape
+        assert converted.min() >= 0.0 and converted.max() <= 1.0  # clamped
+        assert np.isfinite(recons).all()
+
+    def test_style_swap_changes_output(self):
+        """Different target speakers must produce different conversions
+        (the style latent actually flows into the decoder)."""
+        cfg, model, variables = tiny_vae()
+        src = np.random.RandomState(0).rand(80, 30).astype(np.float32)
+        trg_a = np.random.RandomState(1).rand(80, 30).astype(np.float32)
+        trg_b = (np.random.RandomState(2).rand(80, 30) * 0.2).astype(np.float32)
+        _, conv_a = convert_mel(model, variables, src, trg_a, frames=16)
+        _, conv_b = convert_mel(model, variables, src, trg_b, frames=16)
+        assert not np.allclose(conv_a, conv_b)
+
+    def test_driver_writes_outputs(self, tmp_path):
+        cfg, model, variables = tiny_vae()
+        rng = np.random.RandomState(0)
+        for spk in ("spkA", "spkB"):
+            d = tmp_path / "mels" / spk
+            d.mkdir(parents=True)
+            for i in range(3):
+                np.save(d / f"{spk}_{i:03d}_mel.npy",
+                        rng.rand(80, 30).astype(np.float32))
+        conv = VoiceConverter(C.Config(vae=cfg), model, variables)
+        results = conv.convert_speaker_pair(
+            str(tmp_path / "mels"), "spkA", "spkB", str(tmp_path / "gen"),
+            num_utterances=2, save_png=False)
+        assert len(results) == 2
+        assert os.path.isdir(tmp_path / "gen" / "spkA_to_spkB")
+
+
+class TestSpeakerTrainerEndToEnd:
+    def test_ge2e_loss_decreases(self, tmp_path):
+        from dvc_tpu.config import SpeakerEncoderConfig
+        from dvc_tpu.data.speaker_dataset import SpeakerVerificationSampler
+        from dvc_tpu.train.speaker_trainer import SpeakerEncoderTrainer
+
+        rng = np.random.RandomState(0)
+        # 6 synthetic speakers with distinct spectral signatures
+        for s in range(6):
+            d = tmp_path / f"spk{s}"
+            d.mkdir()
+            for u in range(4):
+                base = rng.rand(80, 1) * 0.2 + np.eye(80)[s * 10][:, None]
+                mel = (base + 0.05 * rng.rand(80, 70)).astype(np.float32)
+                np.save(d / f"u{u}.npy", mel)
+
+        cfg = SpeakerEncoderConfig(hidden_size=32, embedding_size=32,
+                                   num_layers=1, speakers_per_batch=6,
+                                   utterances_per_speaker=3,
+                                   partials_n_frames=20)
+        sampler = SpeakerVerificationSampler(str(tmp_path), 6, 3, 20, seed=0)
+        trainer = SpeakerEncoderTrainer(cfg, models_dir=str(tmp_path / "m"))
+        hist = trainer.train(sampler, n_steps=30, save_every=25,
+                             backup_every=0, log_every=10,
+                             logging_func=lambda *a: None)
+        assert len(hist) >= 2
+        assert hist[-1]["loss"] < hist[0]["loss"]
+        # resume round-trip
+        t2 = SpeakerEncoderTrainer(cfg, models_dir=str(tmp_path / "m"))
+        assert t2.resume()
+        assert int(t2.state.step) >= 25
+
+
+class TestWorldPreprocessToMCCDataset:
+    def test_npz_contract(self, tmp_path):
+        from dvc_tpu.data.dataset import PairedMCCDataset
+        from dvc_tpu.data.world_preprocess import preprocess_world_dataset
+        from dvc_tpu.utils.wavio import write_wav
+
+        rng = np.random.RandomState(0)
+        for spk, f in (("s1", 150.0), ("s2", 220.0)):
+            d = tmp_path / "wavs" / spk
+            d.mkdir(parents=True)
+            for i in range(4):
+                t = np.arange(6000) / 16000
+                wav = 0.4 * np.sin(2 * np.pi * f * t) + 0.02 * rng.randn(6000)
+                write_wav(str(d / f"{i:05d}.wav"), wav, 16000)
+
+        stats = preprocess_world_dataset(str(tmp_path / "wavs"),
+                                         str(tmp_path / "npz"))
+        assert len(stats) == 2 and all(s["n_files"] == 4 for s in stats)
+        # npz keys match the reference SpeechDatasetMCC2 contract
+        sample = np.load(str(next((tmp_path / "npz" / "s1").glob("*.npz"))))
+        for key in ("f0", "mcc", "normalized_mc", "mc_mean", "mc_std"):
+            assert key in sample, key
+
+        ds = PairedMCCDataset(str(tmp_path / "npz"), samples_length=32, seed=0)
+        assert len(ds) == 4  # 2 pairs per speaker
+        mc1, mc2, spk = ds[0]
+        assert mc1.shape == (36, 32)
+
+    def test_logf0_stats_reasonable(self, tmp_path):
+        from dvc_tpu.data.world_preprocess import preprocess_world_speaker
+        from dvc_tpu.utils.wavio import write_wav
+
+        d = tmp_path / "s1"
+        d.mkdir()
+        t = np.arange(8000) / 16000
+        write_wav(str(d / "a.wav"), 0.5 * np.sin(2 * np.pi * 200 * t), 16000)
+        s = preprocess_world_speaker(str(d), str(tmp_path / "o"))
+        # log f0 mean should be ~log(200)
+        assert s["logf0_mean"] == pytest.approx(np.log(200.0), abs=0.15)
+
+
+class TestFeatureSelectionTrainer:
+    def test_learns_discriminative_dims(self):
+        from dvc_tpu.train.feature_selection_trainer import FeatureSelectionTrainer
+
+        rng = np.random.RandomState(0)
+        n, d, spk = 256, 16, 4
+        labels = rng.randint(0, spk, n)
+        latents = rng.randn(n, d).astype(np.float32) * 0.1
+        # dims 0..3 encode the speaker
+        latents[np.arange(n), labels] += 3.0
+        tr = FeatureSelectionTrainer(input_size=d, num_spk=spk, lr=3e-3)
+        last = tr.train(latents, labels, epochs=30, batch_size=64,
+                        logging_func=lambda *a: None)
+        assert last["acc"] > 0.8
+        mask = tr.feature_mask(latents)
+        assert mask[:spk].mean() > mask[spk:].mean()  # speaker dims selected
