@@ -18,9 +18,34 @@ from __future__ import annotations
 
 import glob
 import os
+import queue
+import threading
 from typing import Iterator
 
 import numpy as np
+
+
+def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
+    """Run `iterator` in a background thread, buffering `depth` items, so
+    host-side batch assembly overlaps device execution (the role of the
+    torch DataLoader workers the reference relies on — train.py:55)."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    done = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(done)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is done:
+            return
+        yield item
 
 
 class _PairedDatasetBase:
@@ -118,6 +143,23 @@ class _PairedDatasetBase:
 
     def get_utterance(self, speaker: str, utterance: str) -> np.ndarray:
         return self._read(os.path.join(self.file_path, speaker, utterance))
+
+
+def get_male_speakers(vctk_root: str) -> list[str]:
+    """Male speaker ids from VCTK's speaker-info.txt (reference get_male_spk,
+    preprocessing/dataset.py:36-50, including the appended extra speaker)."""
+    header = ["ID", "AGE", "GENDER", "ACCENTS", "REGION"]
+    with open(os.path.join(vctk_root, "speaker-info.txt")) as f:
+        lines = f.readlines()[1:]
+    ids, genders = [], []
+    for line in lines:
+        cols = line.split()
+        if len(cols) > header.index("GENDER"):
+            ids.append(cols[header.index("ID")])
+            genders.append(cols[header.index("GENDER")])
+    out = [f"VCTK-Corpus_wav16_p{i}" for i, g in zip(ids, genders) if g != "F"]
+    out.append("VCTK-Corpus_wav16_chunking_barackobama")
+    return out
 
 
 def speaker_to_onehot_ids(speaker_ids, speaker_all, num_utterance: int = 40

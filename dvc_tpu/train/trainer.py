@@ -155,9 +155,12 @@ class Trainer:
 
     def train_epoch(self, dataset, epoch: int) -> dict[str, float]:
         """One pass over the paired dataset; returns summed loss terms."""
+        from dvc_tpu.data.dataset import prefetch
+
         totals = np.zeros(8, np.float64)
         n_batches = 0
-        for x1, x2, _spk in dataset.batches(self.cfg.train.batch_size):
+        for x1, x2, _spk in prefetch(
+                dataset.batches(self.cfg.train.batch_size)):
             if self.mesh is not None:
                 x1, x2 = shard_batch((x1, x2), self.mesh)
             self.state, terms = self.train_step(self.state, x1, x2, self._rng)
