@@ -103,8 +103,11 @@ def make_eval_step(model: DisentangledVAE, mse_cof: float = 10.0,
     path, model/variational_base_vae.py:105-123)."""
 
     def eval_step(state: TrainState, x1, x2):
+        # the style latent is sampled even in eval (reference quirk,
+        # model/disentangled_vae.py:261) — a fixed key keeps eval deterministic
         outs = model.apply({"params": state.params, "batch_stats": state.batch_stats},
-                           x1, x2, train=False)
+                           x1, x2, train=False,
+                           rngs={"reparam": jax.random.PRNGKey(0)})
         (rx1, rx2, rx1h, rx2h, q1m, q1l, q2m, q2l, smu, slv) = outs
         return gvae_pair_loss(x1, x2, rx1, rx2, rx1h, rx2h,
                               q1m, q1l, q2m, q2l, smu, slv,
@@ -194,6 +197,24 @@ class Trainer:
             if self.checkpoints_path and epoch % report_interval == 0:
                 self.save(epoch)
         return self.state
+
+    def evaluate(self, dataset, logging_func=print) -> dict[str, float]:
+        """Eval-mode pass (reference test(), variational_base_vae.py:105-123):
+        running BN stats, no sampling noise, mean loss terms."""
+        eval_step = make_eval_step(self.model, self.cfg.loss.mse_cof,
+                                   self.cfg.loss.kl_cof)
+        totals = np.zeros(8, np.float64)
+        n = 0
+        for x1, x2, _spk in dataset.batches(self.cfg.train.batch_size,
+                                            shuffle=False):
+            terms = eval_step(self.state, jnp.asarray(x1), jnp.asarray(x2))
+            totals += np.asarray(jax.device_get(terms), np.float64)
+            n += 1
+        out = {k: float(v / max(n, 1))
+               for k, v in zip(LossTerms._fields, totals)}
+        logging_func(f"====> Test recons loss: {out['mse_x1']:.4f} - "
+                     f"VLB: {out['total']:.4f}")
+        return out
 
     def estimate_trained_model(self, dataset, estimation_dir: str,
                                n_images: int = 5) -> int:

@@ -47,6 +47,31 @@ def encoding_visualization(latent: np.ndarray, path: str, sample_id: str = "") -
     return True
 
 
+def projection_plot(embeds: np.ndarray, labels, path: str,
+                    title: str = "embedding projection") -> bool:
+    """2-D PCA scatter of speaker embeddings colored by speaker — the role of
+    the reference's periodic UMAP projections
+    (preprocessing/encoder/visualizations.py:155-173; UMAP itself is not a
+    dependency here, PCA is the deterministic stand-in)."""
+    plt = _plt()
+    if plt is None:
+        return False
+    x = np.asarray(embeds, np.float64)
+    x = x - x.mean(axis=0)
+    _, _, vt = np.linalg.svd(x, full_matrices=False)
+    proj = x @ vt[:2].T
+    labels = np.asarray(labels)
+    fig, ax = plt.subplots(figsize=(6, 6))
+    for lab in np.unique(labels):
+        pts = proj[labels == lab]
+        ax.scatter(pts[:, 0], pts[:, 1], s=12, label=str(lab), alpha=0.7)
+    ax.set_title(title)
+    ax.legend(fontsize=6, ncol=2)
+    fig.savefig(path, bbox_inches="tight")
+    plt.close(fig)
+    return True
+
+
 def plot_latent_analysis(mus: np.ndarray, stds: np.ndarray, speaker_ids,
                          out_png: str, out_npz: str | None = None) -> bool:
     """Per-speaker latent mean/std errorbar plot + npz dump (reference

@@ -122,6 +122,15 @@ class TestPairedDataset:
 
 
 class TestTrainerEndToEnd:
+    def test_evaluate(self, tmp_path):
+        _make_fake_mel_tree(str(tmp_path / "mels"))
+        cfg = tiny_config(batch_size=2)
+        ds = PairedMelDataset(str(tmp_path / "mels"), samples_length=16, seed=0)
+        tr = Trainer(cfg, use_mesh=False)
+        out = tr.evaluate(ds, logging_func=lambda *a: None)
+        assert np.isfinite(out["total"])
+        assert out["mse_x1"] > 0
+
     def test_one_epoch_and_resume(self, tmp_path):
         _make_fake_mel_tree(str(tmp_path / "mels"))
         cfg = tiny_config(batch_size=2)
