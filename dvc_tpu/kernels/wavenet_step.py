@@ -15,13 +15,21 @@ generation:
     layer's block automatically while the MXU chews the current one, so the
     kernel runs at the HBM-bandwidth speed-of-light for this serial model
     (~weights_bytes / HBM_BW per sample, amortized over the whole batch);
-  * conditioning, small projections (cond/skip) and biases are VMEM-resident;
+  * ALL per-layer weights (dilated conv, cond, skip, out projections)
+    stream per layer — keeping any resident measured 2.45x SLOWER (resident
+    w_c/w_skip forced worse VMEM layouts); biases stay resident;
   * mixture-of-logistics sampling happens in-kernel with the TPU PRNG
     (pltpu.prng_seed / prng_random_bits), so no host round-trip per sample.
 
 Numerical contract: identical to models.wavenet.fast_generate (and therefore
 to the teacher-forced conv forward) up to the RNG stream, which here is the
 TPU hardware PRNG instead of jax.random.
+
+Measured (v5e, full 24-layer config, bf16 weights):
+    batch 8:  4408 samples/s/utt (35.3k aggregate)
+    batch 16: 3489 samples/s/utt (55.8k aggregate — 3.5x realtime)
+batch 32 exceeds the 16MB scoped VMEM (ring buffers (504, B, 512) bf16);
+HBM-resident ring buffers would unlock it.
 """
 
 from __future__ import annotations
@@ -107,7 +115,7 @@ def _make_kernel(cfg: VocoderConfig, t_total: int, batch: int,
                cond_ref,                                   # (1, B, C) VMEM, idx t
                w_dil_ref,                                  # (1, 3, R, G) VMEM, idx l
                w_out_ref,                                  # (1, G2, R) VMEM, idx l
-               w_c_ref, w_skip_ref,                        # resident (L, C, G), (L, G2, S)
+               w_c_ref, w_skip_ref,                        # (1, C, G), (1, G2, S) idx l
                b_dil_ref, b_skip_ref, b_out_ref,           # resident biases
                w_first_ref, b_first_ref, w_f1_ref, b_f1_ref, w_f2_ref, b_f2_ref,
                out_ref,                                    # (1, 1, B) VMEM, idx t
@@ -145,13 +153,13 @@ def _make_kernel(cfg: VocoderConfig, t_total: int, batch: int,
                 + jnp.dot(x_tmd.astype(w.dtype), w[1], preferred_element_type=jnp.float32)
                 + jnp.dot(h_in.astype(w.dtype), w[2], preferred_element_type=jnp.float32)
                 + b_dil_ref[pl.ds(l, 1)][0]
-                + jnp.dot(cond_ref[0].astype(w.dtype), w_c_ref[l],
+                + jnp.dot(cond_ref[0].astype(w.dtype), w_c_ref[0],
                           preferred_element_type=jnp.float32))
         a = conv[:, :G2]
         g = conv[:, G2:]
         gated = jnp.tanh(a) * jax.nn.sigmoid(g)    # (B, G2) f32
 
-        s = (jnp.dot(gated.astype(w_skip_ref.dtype), w_skip_ref[l],
+        s = (jnp.dot(gated.astype(w_skip_ref.dtype), w_skip_ref[0],
                      preferred_element_type=jnp.float32)
              + b_skip_ref[pl.ds(l, 1)][0])
         res = (jnp.dot(gated.astype(w_out_ref.dtype), w_out_ref[0],
@@ -225,6 +233,7 @@ def pallas_generate(variables: dict, c_frames: jax.Array, seed: int,
     G = cfg.gate_channels
     G2 = G // 2
     S = cfg.skip_out_channels
+    C_dim = cfg.cin_channels
 
     kernel = _make_kernel(cfg, t_total, b, deterministic=deterministic)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -237,8 +246,10 @@ def pallas_generate(variables: dict, c_frames: jax.Array, seed: int,
                          memory_space=pltpu.VMEM),            # w_dil stream
             pl.BlockSpec((1, G2, R), lambda t, l, *_: (l, 0, 0),
                          memory_space=pltpu.VMEM),            # w_out stream
-            pl.BlockSpec(memory_space=pltpu.VMEM),            # w_c resident
-            pl.BlockSpec(memory_space=pltpu.VMEM),            # w_skip resident
+            pl.BlockSpec((1, C_dim, G), lambda t, l, *_: (l, 0, 0),
+                         memory_space=pltpu.VMEM),            # w_c stream
+            pl.BlockSpec((1, G2, S), lambda t, l, *_: (l, 0, 0),
+                         memory_space=pltpu.VMEM),            # w_skip stream
             pl.BlockSpec(memory_space=pltpu.VMEM),            # b_dil
             pl.BlockSpec(memory_space=pltpu.VMEM),            # b_skip
             pl.BlockSpec(memory_space=pltpu.VMEM),            # b_out

@@ -134,6 +134,28 @@ class TestMelSpectrogram:
         np.testing.assert_allclose(np.asarray(mel), 0.0, atol=1e-6)
 
 
+class TestMelGoldenValues:
+    """Frozen regression values for the mel contract (two-tone 440+1337 Hz
+    signal).  If these move, every trained checkpoint's input distribution
+    moves with them — change only with a deliberate migration."""
+
+    def test_golden(self):
+        t = np.arange(16000) / 16000.0
+        wav = (0.3 * np.sin(2 * np.pi * 440 * t)
+               + 0.1 * np.sin(2 * np.pi * 1337 * t)).astype(np.float32)
+        mel = np.asarray(melspectrogram(jnp.asarray(wav)))
+        assert mel.shape == (80, 66)
+        golden = {(0, 10): 0.357706, (20, 30): 0.310809, (40, 30): 0.148306,
+                  (79, 65): 0.203851, (10, 0): 0.785709, (55, 50): 0.0}
+        for (i, j), v in golden.items():
+            assert mel[i, j] == pytest.approx(v, abs=2e-4), (i, j)
+
+    def test_filterbank_row_sums(self):
+        fb = mel_filterbank()
+        for i, v in ((0, 0.066051), (40, 0.063985), (79, 0.064012)):
+            assert float(fb[i].sum()) == pytest.approx(v, abs=1e-5)
+
+
 class TestChunking:
     """Parity with reference chunking_mel (model/variational_base_vae.py:335-348)."""
 

@@ -137,6 +137,40 @@ class TestWorldPreprocessToMCCDataset:
         assert s["logf0_mean"] == pytest.approx(np.log(200.0), abs=0.15)
 
 
+class TestAutoVCTrainer:
+    def test_loss_decreases(self):
+        from dvc_tpu.config import AutoVCConfig
+        from dvc_tpu.train.autovc_trainer import (
+            create_autovc_state, make_autovc_step)
+
+        cfg = AutoVCConfig(dim_neck=8, dim_emb=16, dim_pre=32, freq=8)
+        model, state, opt = create_autovc_state(
+            jax.random.PRNGKey(0), cfg, lr=1e-3, frames=16)
+        step = make_autovc_step(model, opt)
+        x = jnp.asarray(np.random.RandomState(0).rand(2, 16, 80), jnp.float32)
+        emb = jnp.asarray(np.random.RandomState(1).rand(2, 16), jnp.float32)
+        losses = []
+        for _ in range(5):
+            state, total, l_recon, l_content = step(state, x, emb)
+            losses.append(float(total))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+
+
+class TestParityHarness:
+    def test_mel_reconstruction_error(self):
+        from dvc_tpu.eval.parity import mel_reconstruction_error
+
+        cfg, model, variables = tiny_vae()
+        mels = [np.random.RandomState(i).rand(80, t).astype(np.float32)
+                for i, t in enumerate((20, 40, 7))]
+        rep = mel_reconstruction_error(model, variables, mels, frames=16)
+        assert rep["n_crops"] == 1 + 2 + 1
+        assert 0 < rep["l1_per_frame"] < 10
+        assert rep["l2_per_frame"] >= rep["l1_per_frame"] * 0.1
+        assert np.isfinite(rep["max_abs"])
+
+
 class TestFeatureSelectionTrainer:
     def test_learns_discriminative_dims(self):
         from dvc_tpu.train.feature_selection_trainer import FeatureSelectionTrainer
