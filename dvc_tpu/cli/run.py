@@ -17,8 +17,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import dataclasses
-import json
 import os
 import sys
 
@@ -120,6 +118,74 @@ def _run_world(args) -> None:
               f"logf0 {s['logf0_mean']:.3f}±{s['logf0_std']:.3f}")
 
 
+def cmd_train_speaker(args) -> int:
+    """GE2E speaker-encoder training (reference preprocessing/encoder/train.py:18-133)."""
+    from dvc_tpu.config import SpeakerEncoderConfig
+    from dvc_tpu.data.speaker_dataset import SpeakerVerificationSampler
+    from dvc_tpu.train.speaker_trainer import SpeakerEncoderTrainer
+
+    cfg = SpeakerEncoderConfig(
+        speakers_per_batch=args.speakers_per_batch,
+        utterances_per_speaker=args.utterances_per_speaker,
+        learning_rate=args.lr)
+    sampler = SpeakerVerificationSampler(
+        args.clean_data_root, cfg.speakers_per_batch,
+        cfg.utterances_per_speaker, cfg.partials_n_frames, seed=args.seed)
+    trainer = SpeakerEncoderTrainer(cfg, run_id=args.run_id,
+                                    models_dir=args.models_dir)
+    if not args.no_resume and trainer.resume():
+        print(f"resumed {args.run_id} at step {int(trainer.state.step)}")
+    hist = trainer.train(sampler, args.n_steps, save_every=args.save_every,
+                         backup_every=args.backup_every)
+    if hist and args.umap_every:
+        import jax.numpy as jnp
+        import numpy as np
+        from dvc_tpu.utils.plotting import projection_plot
+        batch = sampler.next_batch()
+        s, u = batch.shape[:2]
+        flat = batch.reshape(-1, batch.shape[-2], batch.shape[-1])
+        embeds = trainer.model.apply({"params": trainer.state.params},
+                                     jnp.asarray(flat))
+        labels = np.repeat(np.arange(s), u)
+        projection_plot(np.asarray(embeds), labels,
+                        os.path.join(args.models_dir, f"{args.run_id}_proj.png"))
+    return 0
+
+
+def cmd_train_fs(args) -> int:
+    """Feature-selection training on frozen-VAE latents (reference
+    model/train_feature_selection.py:10-79, fixed)."""
+    import numpy as np
+    from dvc_tpu.data.dataset import PairedMelDataset
+    from dvc_tpu.train.feature_selection_trainer import FeatureSelectionTrainer
+    from dvc_tpu.train.trainer import Trainer
+
+    cfg = _config_from_args(args)
+    trainer = Trainer(cfg, checkpoints_path=os.path.join(args.log_dir,
+                                                         "checkpoints"))
+    epoch = trainer.load_last()
+    print(f"loaded VAE checkpoint at epoch {epoch - 1}")
+    variables = {"params": trainer.state.params,
+                 "batch_stats": trainer.state.batch_stats}
+
+    ds = PairedMelDataset(args.dataset_fp, samples_length=args.samples_length)
+    latents, labels = [], []
+    fs_trainer = FeatureSelectionTrainer(cfg.vae.latent_dim,
+                                         num_spk=len(ds.speaker_ids))
+    for x1, _x2, spk in ds.batches(cfg.train.batch_size, shuffle=False):
+        latents.append(fs_trainer.encode_latents(trainer.model, variables, x1))
+        labels.append(spk)
+    latents = np.concatenate(latents)
+    labels = np.concatenate(labels)
+    last = fs_trainer.train(latents, labels, epochs=args.fs_epochs)
+    mask = fs_trainer.feature_mask(latents)
+    out = os.path.join(args.log_dir, "feature_mask.npz")
+    np.savez(out, mask=mask, acc=last.get("acc", 0.0))
+    print(f"speaker-discriminative dims (mask>0.5): "
+          f"{np.where(mask > 0.5)[0].tolist()} -> {out}")
+    return 0
+
+
 def cmd_eval_mcd(args) -> int:
     from glob import glob
     import numpy as np
@@ -178,6 +244,26 @@ def main(argv=None) -> int:
     p.add_argument("--num_utterances", type=int, default=2)
     p.add_argument("--vocoder_ckpt", default="")
     p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser("train-speaker")
+    p.add_argument("run_id")
+    p.add_argument("clean_data_root")
+    p.add_argument("-m", "--models_dir", required=True)
+    p.add_argument("--n_steps", type=int, default=10_000)
+    p.add_argument("--speakers_per_batch", type=int, default=64)
+    p.add_argument("--utterances_per_speaker", type=int, default=10)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--save_every", type=int, default=500)
+    p.add_argument("--backup_every", type=int, default=3000)
+    p.add_argument("--umap_every", type=int, default=100)
+    p.add_argument("--no_resume", action="store_true")
+    p.set_defaults(fn=cmd_train_speaker)
+
+    p = sub.add_parser("train-fs")
+    _add_train_args(p)
+    p.add_argument("--fs_epochs", type=int, default=10)
+    p.set_defaults(fn=cmd_train_fs)
 
     p = sub.add_parser("eval-mcd")
     p.add_argument("--src_dir", required=True)

@@ -16,7 +16,6 @@ import numpy as np
 
 from dvc_tpu.config import VocoderConfig
 from dvc_tpu.models.wavenet import WaveNet, fast_generate
-from dvc_tpu.train.checkpoint import load_last_checkpoint
 
 
 def load_vocoder_params(ckpt_path: str, cfg: VocoderConfig = VocoderConfig()) -> dict:

@@ -15,7 +15,6 @@ import os
 
 import numpy as np
 
-from dvc_tpu.config import AudioConfig
 from dvc_tpu.ops.world import (
     logf0_statistics,
     mcs_normalization_fit_transform,

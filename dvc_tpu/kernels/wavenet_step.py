@@ -34,7 +34,6 @@ HBM-resident ring buffers would unlock it.
 
 from __future__ import annotations
 
-import functools
 import math
 
 import jax

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from dvc_tpu.config import AutoVCConfig, VAEConfig
+from dvc_tpu.config import AutoVCConfig
 from dvc_tpu.models.layers import LSTM, BatchNorm, ConvNorm, LinearNorm
 
 

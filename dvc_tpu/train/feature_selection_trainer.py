@@ -86,6 +86,8 @@ class FeatureSelectionTrainer:
         latents = np.asarray(latents, np.float32)
         labels = np.asarray(labels, np.int32)
         n = len(latents)
+        batch_size = min(batch_size, n)
+        assert batch_size > 0, "no latents to train on"
         rng = np.random.RandomState(0)
         last = {}
         for epoch in range(epochs):

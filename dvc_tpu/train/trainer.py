@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, Callable
 
 import jax
@@ -30,7 +29,7 @@ from flax.core import FrozenDict
 
 from dvc_tpu.config import Config
 from dvc_tpu.models.disentangled_vae import DisentangledVAE
-from dvc_tpu.parallel.mesh import data_sharding, make_mesh, replicated, shard_batch
+from dvc_tpu.parallel.mesh import make_mesh, shard_batch
 from dvc_tpu.train.losses import LossTerms, gvae_pair_loss
 from dvc_tpu.train import checkpoint as ckpt_lib
 
