@@ -77,7 +77,9 @@ def cmd_train(args) -> int:
                                seed=args.seed)
     trainer = Trainer(cfg,
                       checkpoints_path=os.path.join(args.log_dir, "checkpoints"),
-                      logs_path=os.path.join(args.log_dir, "logs"))
+                      logs_path=os.path.join(args.log_dir, "logs"),
+                      estimation_dir=os.path.join(args.log_dir, "images",
+                                                  "estimation"))
     trainer.run_training(dataset, args.epochs,
                          report_interval=args.report_interval,
                          reload_model=not args.do_not_resume)

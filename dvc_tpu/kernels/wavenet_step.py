@@ -30,6 +30,12 @@ Measured (v5e, full 24-layer config, bf16 weights):
     batch 16: 3489 samples/s/utt (55.8k aggregate — 3.5x realtime)
 batch 32 exceeds the 16MB scoped VMEM (ring buffers (504, B, 512) bf16);
 HBM-resident ring buffers would unlock it.
+
+int8 weight streaming (quantize_int8=True) is available — halves HBM bytes
+with per-out-channel scales, trajectory deviation < 0.01 — but measured
+SLOWER than bf16 at batch 16 (1521 vs 2187 samples/s/utt under host
+contention): the per-matmul int8->bf16 cast costs more than the saved DMA
+at this batch.  Revisit if the loop becomes DMA-bound (larger batch).
 """
 
 from __future__ import annotations
@@ -48,9 +54,24 @@ from dvc_tpu.models.wavenet import WaveNet
 SQRT_HALF = np.float32(math.sqrt(0.5))
 
 
+def _quantize_int8(w: np.ndarray, axis_last: bool = True):
+    """Per-output-channel symmetric int8 quantization: w ~= q * scale with
+    scale over all axes but the last (output-channel) axis."""
+    red = tuple(range(w.ndim - 1))
+    scale = np.max(np.abs(w), axis=red, keepdims=True) / 127.0
+    scale = np.maximum(scale, 1e-12)
+    q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    return q, np.squeeze(scale, axis=red).astype(np.float32)
+
+
 def pack_wavenet_params(params: dict, cfg: VocoderConfig,
-                        dtype=jnp.bfloat16) -> dict:
-    """Flax param tree -> packed, layer-stacked arrays for the kernel."""
+                        dtype=jnp.bfloat16, quantize: bool = False) -> dict:
+    """Flax param tree -> packed, layer-stacked arrays for the kernel.
+
+    quantize=True stores the four streamed weight families as int8 with
+    per-(layer, tap, out-channel) scales — halves the per-sample HBM traffic
+    that bounds the AR loop; dequantization is a post-matmul row scale.
+    """
     L = cfg.layers
 
     def p(*path):
@@ -70,13 +91,38 @@ def pack_wavenet_params(params: dict, cfg: VocoderConfig,
     dil = np.array([cfg.dilation(i) for i in range(L)], np.int32)
     offs = np.concatenate([[0], np.cumsum(2 * dil)[:-1]]).astype(np.int32)
 
+    if quantize:
+        qd = np.empty_like(w_dil, dtype=np.int8)
+        sd = np.empty((L, 3, w_dil.shape[-1]), np.float32)
+        for li in range(L):
+            for tap in range(3):
+                qd[li, tap], sd[li, tap] = _quantize_int8(w_dil[li, tap])
+        qo = np.empty_like(w_out, dtype=np.int8)
+        so = np.empty((L, w_out.shape[-1]), np.float32)
+        qc = np.empty_like(w_c, dtype=np.int8)
+        sc = np.empty((L, w_c.shape[-1]), np.float32)
+        qs = np.empty_like(w_skip, dtype=np.int8)
+        ss = np.empty((L, w_skip.shape[-1]), np.float32)
+        for li in range(L):
+            qo[li], so[li] = _quantize_int8(w_out[li])
+            qc[li], sc[li] = _quantize_int8(w_c[li])
+            qs[li], ss[li] = _quantize_int8(w_skip[li])
+        w_dil, w_out, w_c, w_skip = qd, qo, qc, qs
+        scales = {"s_dil": jnp.asarray(sd), "s_out": jnp.asarray(so),
+                  "s_c": jnp.asarray(sc), "s_skip": jnp.asarray(ss)}
+        wdt = jnp.int8
+    else:
+        scales = {}
+        wdt = dtype
+
     return {
+        **scales,
+        "quantized": quantize,
         # streamed per layer
-        "w_dil": jnp.asarray(w_dil, dtype),                  # (L, 3, R, G)
-        "w_out": jnp.asarray(w_out, dtype),                  # (L, G/2, R)
-        # VMEM-resident
-        "w_c": jnp.asarray(w_c, dtype),                      # (L, C, G)
-        "w_skip": jnp.asarray(w_skip, dtype),                # (L, G/2, S)
+        "w_dil": jnp.asarray(w_dil, wdt),                    # (L, 3, R, G)
+        "w_out": jnp.asarray(w_out, wdt),                    # (L, G/2, R)
+        "w_c": jnp.asarray(w_c, wdt),                        # (L, C, G)
+        "w_skip": jnp.asarray(w_skip, wdt),                  # (L, G/2, S)
         "b_dil": jnp.asarray(b_dil, jnp.float32),            # (L, G)
         "b_skip": jnp.asarray(b_skip, jnp.float32),          # (L, S)
         "b_out": jnp.asarray(b_out, jnp.float32),            # (L, R)
@@ -99,7 +145,7 @@ def _uniform_from_bits(bits):
 
 
 def _make_kernel(cfg: VocoderConfig, t_total: int, batch: int,
-                 deterministic: bool = False):
+                 deterministic: bool = False, quantized: bool = False):
     L = cfg.layers
     R = cfg.residual_channels
     G = cfg.gate_channels
@@ -115,6 +161,7 @@ def _make_kernel(cfg: VocoderConfig, t_total: int, batch: int,
                w_dil_ref,                                  # (1, 3, R, G) VMEM, idx l
                w_out_ref,                                  # (1, G2, R) VMEM, idx l
                w_c_ref, w_skip_ref,                        # (1, C, G), (1, G2, S) idx l
+               s_dil_ref, s_out_ref, s_c_ref, s_skip_ref,  # int8 scales (resident)
                b_dil_ref, b_skip_ref, b_out_ref,           # resident biases
                w_first_ref, b_first_ref, w_f1_ref, b_f1_ref, w_f2_ref, b_f2_ref,
                out_ref,                                    # (1, 1, B) VMEM, idx t
@@ -148,21 +195,31 @@ def _make_kernel(cfg: VocoderConfig, t_total: int, batch: int,
         x_tmd = bufs[pl.ds(tap_d, 1)][0].astype(jnp.float32)
 
         w = w_dil_ref[0]                           # (3, R, G)
-        conv = (jnp.dot(x_tm2d.astype(w.dtype), w[0], preferred_element_type=jnp.float32)
-                + jnp.dot(x_tmd.astype(w.dtype), w[1], preferred_element_type=jnp.float32)
-                + jnp.dot(h_in.astype(w.dtype), w[2], preferred_element_type=jnp.float32)
+        cd = jnp.bfloat16 if quantized else w.dtype
+
+        def mm(xv, wv, scale_row=None):
+            y = jnp.dot(xv.astype(cd), wv.astype(cd),
+                        preferred_element_type=jnp.float32)
+            if quantized:
+                y = y * scale_row
+            return y
+
+        sd = s_dil_ref[pl.ds(l, 1)][0] if quantized else None  # (3, G)
+        conv = (mm(x_tm2d, w[0], sd[0][None, :] if quantized else None)
+                + mm(x_tmd, w[1], sd[1][None, :] if quantized else None)
+                + mm(h_in, w[2], sd[2][None, :] if quantized else None)
                 + b_dil_ref[pl.ds(l, 1)][0]
-                + jnp.dot(cond_ref[0].astype(w.dtype), w_c_ref[0],
-                          preferred_element_type=jnp.float32))
+                + mm(cond_ref[0], w_c_ref[0],
+                     s_c_ref[pl.ds(l, 1)][0][None, :] if quantized else None))
         a = conv[:, :G2]
         g = conv[:, G2:]
         gated = jnp.tanh(a) * jax.nn.sigmoid(g)    # (B, G2) f32
 
-        s = (jnp.dot(gated.astype(w_skip_ref.dtype), w_skip_ref[0],
-                     preferred_element_type=jnp.float32)
+        s = (mm(gated, w_skip_ref[0],
+                s_skip_ref[pl.ds(l, 1)][0][None, :] if quantized else None)
              + b_skip_ref[pl.ds(l, 1)][0])
-        res = (jnp.dot(gated.astype(w_out_ref.dtype), w_out_ref[0],
-                       preferred_element_type=jnp.float32)
+        res = (mm(gated, w_out_ref[0],
+                  s_out_ref[pl.ds(l, 1)][0][None, :] if quantized else None)
                + b_out_ref[pl.ds(l, 1)][0])
 
         # push this layer's input into its ring buffer (overwrites x_{t-2d})
@@ -218,9 +275,16 @@ def pallas_generate(variables: dict, c_frames: jax.Array, seed: int,
                     cfg: VocoderConfig = VocoderConfig(),
                     interpret: bool = False,
                     weight_dtype=jnp.bfloat16,
-                    deterministic: bool = False) -> jax.Array:
-    """(B, T_frames, n_mels) mel -> (B, T_frames * hop) sampled waveform."""
-    packed = pack_wavenet_params(variables["params"], cfg, weight_dtype)
+                    deterministic: bool = False,
+                    quantize_int8: bool = False) -> jax.Array:
+    """(B, T_frames, n_mels) mel -> (B, T_frames * hop) sampled waveform.
+
+    quantize_int8: stream the four big weight families as int8 with
+    per-output-channel scales (half the HBM traffic of bf16 — the AR loop's
+    bound); activations and accumulations stay bf16/f32.
+    """
+    packed = pack_wavenet_params(variables["params"], cfg, weight_dtype,
+                                 quantize=quantize_int8)
     # upsample conditioning once, batched, outside the kernel
     from flax import linen as nn
     up = nn.apply(lambda m, c: m.upsample(c), WaveNet(cfg))
@@ -234,7 +298,20 @@ def pallas_generate(variables: dict, c_frames: jax.Array, seed: int,
     S = cfg.skip_out_channels
     C_dim = cfg.cin_channels
 
-    kernel = _make_kernel(cfg, t_total, b, deterministic=deterministic)
+    kernel = _make_kernel(cfg, t_total, b, deterministic=deterministic,
+                          quantized=quantize_int8)
+    act_dtype = jnp.bfloat16 if quantize_int8 else weight_dtype
+    L_dim = cfg.layers
+    if quantize_int8:
+        scale_args = (packed["s_dil"], packed["s_out"], packed["s_c"],
+                      packed["s_skip"])
+    else:
+        z = jnp.zeros((1, 1), jnp.float32)
+        scale_args = (jnp.zeros((L_dim, 3, G), jnp.float32),
+                      jnp.zeros((L_dim, R), jnp.float32),
+                      jnp.zeros((L_dim, G), jnp.float32),
+                      jnp.zeros((L_dim, S), jnp.float32))
+        del z
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # dil, offs, seed
         grid=(t_total, L),
@@ -249,6 +326,10 @@ def pallas_generate(variables: dict, c_frames: jax.Array, seed: int,
                          memory_space=pltpu.VMEM),            # w_c stream
             pl.BlockSpec((1, G2, S), lambda t, l, *_: (l, 0, 0),
                          memory_space=pltpu.VMEM),            # w_skip stream
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # s_dil
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # s_out
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # s_c
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # s_skip
             pl.BlockSpec(memory_space=pltpu.VMEM),            # b_dil
             pl.BlockSpec(memory_space=pltpu.VMEM),            # b_skip
             pl.BlockSpec(memory_space=pltpu.VMEM),            # b_out
@@ -262,7 +343,7 @@ def pallas_generate(variables: dict, c_frames: jax.Array, seed: int,
         out_specs=pl.BlockSpec((1, 1, b), lambda t, l, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((packed["buf_total"], b, R), weight_dtype),  # ring buffers
+            pltpu.VMEM((packed["buf_total"], b, R), act_dtype),     # ring buffers
             pltpu.VMEM((b, R), jnp.float32),                        # h carry
             pltpu.VMEM((b, S), jnp.float32),                        # skip acc
             pltpu.VMEM((b, 128), jnp.float32),                      # x_prev (lane-padded)
@@ -277,6 +358,7 @@ def pallas_generate(variables: dict, c_frames: jax.Array, seed: int,
     )(packed["dil"], packed["offs"], jnp.asarray([seed], jnp.int32),
       jnp.swapaxes(cond, 0, 1).astype(jnp.float32),   # (T, B, C)
       packed["w_dil"], packed["w_out"], packed["w_c"], packed["w_skip"],
+      *scale_args,
       packed["b_dil"], packed["b_skip"], packed["b_out"],
       packed["w_first"], packed["b_first"], packed["w_f1"], packed["b_f1"],
       packed["w_f2"], packed["b_f2"])

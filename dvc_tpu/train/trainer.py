@@ -123,6 +123,7 @@ class Trainer:
     cfg: Config
     checkpoints_path: str = ""
     logs_path: str = ""
+    estimation_dir: str = ""
     run_name: str = "DisentangledVAE_VCTK"
     use_mesh: bool = True
 
@@ -137,6 +138,7 @@ class Trainer:
             donate=self.cfg.train.donate_state)
         self._rng = jax.random.PRNGKey(self.cfg.train.seed + 1)
         self._writer = None
+        self._eval_step = None
 
     # -- checkpointing (latest-wins by epoch parsed from the filename) ------
 
@@ -195,13 +197,22 @@ class Trainer:
                 writer.add_scalar("Loss\\Z KL Style", totals["z_style_kl"] / n, epoch)
             if self.checkpoints_path and epoch % report_interval == 0:
                 self.save(epoch)
+                # reference also dumps reconstruction pngs each interval
+                # (variational_base_vae.py:199-202)
+                if self.estimation_dir:
+                    try:
+                        self.estimate_trained_model(dataset, self.estimation_dir)
+                    except Exception as e:  # plotting is best-effort
+                        logging_func(f"estimation dump failed: {e}")
         return self.state
 
     def evaluate(self, dataset, logging_func=print) -> dict[str, float]:
         """Eval-mode pass (reference test(), variational_base_vae.py:105-123):
         running BN stats, no sampling noise, mean loss terms."""
-        eval_step = make_eval_step(self.model, self.cfg.loss.mse_cof,
-                                   self.cfg.loss.kl_cof)
+        if self._eval_step is None:  # build once — jit caches by closure id
+            self._eval_step = make_eval_step(self.model, self.cfg.loss.mse_cof,
+                                             self.cfg.loss.kl_cof)
+        eval_step = self._eval_step
         totals = np.zeros(8, np.float64)
         n = 0
         for x1, x2, _spk in dataset.batches(self.cfg.train.batch_size,
@@ -228,8 +239,11 @@ class Trainer:
         variables = {"params": self.state.params,
                      "batch_stats": self.state.batch_stats}
         outs = self.model.apply(variables, jnp.asarray(x1), jnp.asarray(x2),
-                                train=False)
-        recons_x1 = np.asarray(outs[0])
+                                train=False,
+                                rngs={"reparam": jax.random.PRNGKey(0)})
+        # reference takes the POST-postnet reconstructions for the pngs
+        # (variational_base_vae.py:218: `_,_,recons_x1, recons_x2, ...`)
+        recons_x1 = np.asarray(outs[2])
         try:
             from dvc_tpu.utils.plotting import save_mel_png
             for i in range(min(n_images, len(x1))):

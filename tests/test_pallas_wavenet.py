@@ -76,6 +76,19 @@ class TestPallasWaveNet:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-4, atol=2e-4)
 
+    def test_int8_quantized_close(self):
+        """int8 weight streaming (per-out-channel scales) stays within
+        quantization-error distance of the f32 trajectory."""
+        cfg = TINY
+        variables = _deterministic_variables(cfg, jax.random.PRNGKey(0))
+        c = jnp.asarray(np.random.RandomState(0).rand(2, 3, cfg.cin_channels),
+                        jnp.float32)
+        want = fast_generate(variables, c, jax.random.PRNGKey(7), cfg)
+        got = pallas_generate(variables, c, seed=1, cfg=cfg, interpret=True,
+                              weight_dtype=jnp.float32, deterministic=True,
+                              quantize_int8=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0.05)
+
     def test_bf16_weights_close(self):
         cfg = TINY
         variables = _deterministic_variables(cfg, jax.random.PRNGKey(1))
