@@ -40,6 +40,12 @@ ITERS = 20
 def bench_jax() -> float:
     import jax
     import jax.numpy as jnp
+    try:  # persistent compile cache: repeat bench runs skip the ~minutes compile
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(REPO, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
     from dvc_tpu.config import Config
     from dvc_tpu.train.trainer import create_train_state, make_train_step
 
