@@ -43,6 +43,19 @@ class TestNativeMel:
                                        atol=1e-6)
 
 
+class TestNativeExtractorBackend:
+    def test_preprocess_extractor_backends_agree(self):
+        from dvc_tpu.data.preprocess import BatchedMelExtractor
+
+        rng = np.random.RandomState(3)
+        wavs = [(rng.randn(n) * 0.1).astype(np.float32) for n in (5000, 12000)]
+        jax_mels = BatchedMelExtractor(backend="jax")(wavs)
+        nat_mels = BatchedMelExtractor(backend="native")(wavs)
+        for a, b in zip(jax_mels, nat_mels):
+            assert a.shape == b.shape
+            np.testing.assert_allclose(a, b, atol=2e-3)
+
+
 class TestNativeResample:
     def test_tone_preserved(self):
         t = np.arange(48000) / 48000
