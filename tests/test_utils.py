@@ -1,0 +1,96 @@
+"""Utility-layer tests: WAV IO, speaker-inference windows, prefetch, timers."""
+
+import numpy as np
+import pytest
+
+from dvc_tpu.utils.wavio import read_wav, write_wav
+
+
+class TestWavIO:
+    def test_roundtrip_pcm16(self, tmp_path):
+        rng = np.random.RandomState(0)
+        wav = (rng.randn(12345) * 0.3).clip(-1, 1).astype(np.float32)
+        path = str(tmp_path / "t.wav")
+        write_wav(path, wav, 16000)
+        back, sr = read_wav(path)
+        assert sr == 16000 and len(back) == len(wav)
+        # PCM16 quantization + peak scaling: correlation must be ~1
+        c = np.corrcoef(wav, back)[0, 1]
+        assert c > 0.999
+
+    def test_rejects_garbage(self, tmp_path):
+        path = str(tmp_path / "bad.wav")
+        with open(path, "wb") as f:
+            f.write(b"not a wav file at all")
+        with pytest.raises(ValueError):
+            read_wav(path)
+
+    def test_float32_wav(self, tmp_path):
+        import struct
+        wav = np.linspace(-0.5, 0.5, 1000).astype(np.float32)
+        body = wav.tobytes()
+        hdr = b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+        hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 16000, 64000, 4, 32)
+        hdr += b"data" + struct.pack("<I", len(body))
+        path = str(tmp_path / "f32.wav")
+        with open(path, "wb") as f:
+            f.write(hdr + body)
+        back, sr = read_wav(path)
+        np.testing.assert_allclose(back, wav, atol=1e-7)
+
+
+class TestPartialSlices:
+    def test_reference_math(self):
+        """compute_partial_slices parity with encoder/inference.py:59-108."""
+        from dvc_tpu.models.speaker_inference import compute_partial_slices
+
+        n_samples = 16000  # 1 s
+        wav_slices, mel_slices = compute_partial_slices(n_samples)
+        # 160 samples/frame, 101 frames, frame_step 32 (50% overlap of 63)
+        assert mel_slices[0] == slice(0, 63)
+        assert mel_slices[1] == slice(32, 95)
+        for ws, ms in zip(wav_slices, mel_slices):
+            assert ws.start == ms.start * 160 and ws.stop == ms.stop * 160
+        # slices cover the signal
+        assert wav_slices[-1].stop >= n_samples * 0.75
+
+    def test_short_utterance_single_slice(self):
+        from dvc_tpu.models.speaker_inference import compute_partial_slices
+
+        _, mel_slices = compute_partial_slices(2000)  # 0.125 s
+        assert len(mel_slices) == 1
+
+
+class TestPrefetch:
+    def test_order_and_completeness(self):
+        from dvc_tpu.data.dataset import prefetch
+
+        out = list(prefetch(iter(range(17)), depth=3))
+        assert out == list(range(17))
+
+    def test_empty(self):
+        from dvc_tpu.data.dataset import prefetch
+
+        assert list(prefetch(iter([]))) == []
+
+
+class TestStepTimer:
+    def test_stats(self):
+        import time
+        from dvc_tpu.utils.profiling import StepTimer
+
+        t = StepTimer()
+        for _ in range(4):
+            t.tick()
+            time.sleep(0.005)
+        assert 3 <= t.mean_ms <= 50
+        assert "ms/step" in t.summary()
+
+
+class TestKeySeq:
+    def test_unique_keys(self):
+        from dvc_tpu.utils.prng import key_seq
+
+        gen = key_seq(0)
+        keys = [tuple(np.asarray(next(gen)).tolist()) for _ in range(5)]
+        assert len(set(keys)) == 5
