@@ -60,11 +60,13 @@ def bench_jax() -> float:
                      jnp.float32)
     for _ in range(WARMUP):
         state, terms = step(state, x1, x2, rng)
-    jax.block_until_ready(terms)
+    float(terms.total)  # NOTE: a value fetch, not block_until_ready — this
+    # environment's remote-TPU runtime acks block_until_ready before the
+    # device finishes; only materializing a value waits for real completion
     t0 = time.perf_counter()
     for _ in range(ITERS):
         state, terms = step(state, x1, x2, rng)
-    jax.block_until_ready(terms)
+    float(terms.total)  # forces completion of the whole donated-state chain
     dt = (time.perf_counter() - t0) / ITERS
     frames_per_step = 2 * BATCH * FRAMES
     return frames_per_step / dt

@@ -25,9 +25,10 @@ Numerical contract: identical to models.wavenet.fast_generate (and therefore
 to the teacher-forced conv forward) up to the RNG stream, which here is the
 TPU hardware PRNG instead of jax.random.
 
-Measured (v5e, full 24-layer config, bf16 weights):
-    batch 8:  4408 samples/s/utt (35.3k aggregate)
-    batch 16: 3489 samples/s/utt (55.8k aggregate — 3.5x realtime)
+Measured (v5e, full 24-layer config, bf16 weights; timings close with a
+value fetch — this environment's block_until_ready acks early):
+    batch 8:  2821 samples/s/utt (22.6k aggregate)
+    batch 16: 3084 samples/s/utt (49.3k aggregate — 3x realtime)
 batch 32 exceeds the 16MB scoped VMEM (ring buffers (504, B, 512) bf16);
 HBM-resident ring buffers would unlock it.
 
@@ -372,8 +373,9 @@ def pallas_generate(variables: dict, c_frames: jax.Array, seed: int,
 # 24x per sample; measured on v5e (full 24-layer config, batch 8):
 #   v1 (grid (T, L), auto-pipelined blocks): 1798 samples/s/utt, ~23 s compile
 #   v2 (grid (T,), unrolled + manual DMA):   1006 samples/s/utt, ~570 s compile
-# Mosaic's automatic block pipelining overlaps DMA better than this manual
-# schedule, and the 24x-unrolled body blows up compile time.  v1 is the
+# (both variants timed the same way). Mosaic's automatic block pipelining
+# overlaps DMA better than this manual schedule, and the 24x-unrolled body
+# blows up compile time.  v1 is the
 # production path (convert/vocode.py).  VMEM note: batch 32 OOMs the 16MB
 # scoped vmem (ring buffers (504, B, 512) bf16 alone are 16.5MB at B=32);
 # scaling batch needs HBM-resident ring buffers (round-2 work).
