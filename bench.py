@@ -27,9 +27,9 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, ".bench_baseline.json")
 
 # The reference trains at batch 8 (training.sh); per-chip throughput is
-# reported at the TPU-saturating batch (the step is latency-bound below
-# ~bs=128: 8->0.75M, 32->3.9M, 128->13.7M frames/s on v5e).  The torch
-# baseline runs at the SAME batch for a like-for-like frames/sec ratio.
+# reported at the TPU-saturating batch (measured with value-fetch-closed
+# timing: 8->104k, 32->241k, 128->354k, 256->359k frames/s on v5e).  The
+# torch baseline runs at the SAME batch for a like-for-like frames/sec ratio.
 BATCH = 128
 FRAMES = 64
 N_MELS = 80

@@ -31,3 +31,4 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 from dvc_tpu.models import layers as _layers  # noqa: E402
 
 _layers.DEFAULT_UNROLL = 1
+_layers.FULL_UNROLL_MAX_T = 0
