@@ -27,8 +27,12 @@ class SpeakerEncoder(nn.Module):
     dtype: jnp.dtype | None = None
 
     def setup(self):
+        # explicit scan unroll: at this batch (64 spk x 10 utts = 640) a fully
+        # unrolled T=63 LSTM measured 9x SLOWER (1630 vs 184 ms/step on v5e) —
+        # the straight-line program spills; the layers.py full-unroll
+        # heuristic is tuned for the VAE's smaller per-call batches
         self.lstm = LSTM(self.cfg.hidden_size, num_layers=self.cfg.num_layers,
-                         dtype=self.dtype, name="lstm")
+                         unroll=8, dtype=self.dtype, name="lstm")
         self.linear = nn.Dense(self.cfg.embedding_size, name="linear")
         self.similarity_weight = self.param(
             "similarity_weight", lambda k, s: jnp.full(s, 10.0), (1,))
