@@ -42,6 +42,7 @@ from dvc_tpu.models.layers import LSTM, BatchNorm, ConvNorm, LinearNorm
 class _Encoder(nn.Module):
     cfg: VAEConfig
     dtype: jnp.dtype | None = None
+    pair_groups: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> tuple[jax.Array, ...]:
@@ -52,6 +53,7 @@ class _Encoder(nn.Module):
                          w_init_gain="linear", bias_init_value=0.0,
                          dtype=self.dtype, name=f"conv{i}")(x)
             x = BatchNorm(momentum=c.bn_momentum, epsilon=c.bn_eps,
+                          groups=self.pair_groups,
                           name=f"bn{i}")(x, use_running_average=not train)
             x = nn.relu(x)
         x, _ = LSTM(c.dim_neck, num_layers=c.enc_lstm_layers, bidirectional=True,
@@ -71,6 +73,7 @@ class _Encoder(nn.Module):
 class _Decoder(nn.Module):
     cfg: VAEConfig
     dtype: jnp.dtype | None = None
+    pair_groups: int = 1
 
     @nn.compact
     def __call__(self, z: jax.Array, train: bool) -> jax.Array:
@@ -86,6 +89,7 @@ class _Decoder(nn.Module):
                          w_init_gain="linear", bias_init_value=0.0,
                          dtype=self.dtype, name=f"conv{i}")(x)
             x = BatchNorm(momentum=c.bn_momentum, epsilon=c.bn_eps,
+                          groups=self.pair_groups,
                           name=f"bn{i}")(x, use_running_average=not train)
             x = nn.relu(x)
         x, _ = LSTM(c.dec_lstm2_hidden, num_layers=2, dtype=self.dtype,
@@ -100,6 +104,7 @@ class Postnet(nn.Module):
 
     cfg: VAEConfig
     dtype: jnp.dtype | None = None
+    pair_groups: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -110,6 +115,7 @@ class Postnet(nn.Module):
             x = ConvNorm(feats, kernel_size=c.kernel_size, w_init_gain="linear",
                          bias_init_value=0.0, dtype=self.dtype, name=f"conv{i}")(x)
             x = BatchNorm(momentum=c.bn_momentum, epsilon=c.bn_eps,
+                          groups=self.pair_groups,
                           name=f"bn{i}")(x, use_running_average=not train)
             if i < n - 1:
                 x = jnp.tanh(x)
@@ -122,11 +128,18 @@ class DisentangledVAE(nn.Module):
 
     cfg: VAEConfig = VAEConfig()
     dtype: jnp.dtype | None = None
+    # pair_fused: run the pair through ONE 2B-batch encoder/decoder/postnet
+    # pass with per-half BatchNorm statistics (grouped BN) — train-time math
+    # identical to the reference's two separate calls, but every conv/LSTM
+    # runs at twice the batch and the sequential LSTM chain halves.
+    # Parameters/checkpoints are identical and interchangeable either way.
+    pair_fused: bool = False
 
     def setup(self):
-        self.encoder = _Encoder(self.cfg, self.dtype)
-        self.decoder = _Decoder(self.cfg, self.dtype)
-        self.postnet_mod = Postnet(self.cfg, self.dtype)
+        g = 2 if self.pair_fused else 1
+        self.encoder = _Encoder(self.cfg, self.dtype, pair_groups=g)
+        self.decoder = _Decoder(self.cfg, self.dtype, pair_groups=g)
+        self.postnet_mod = Postnet(self.cfg, self.dtype, pair_groups=g)
 
     def encode(self, x: jax.Array, train: bool = False) -> tuple[jax.Array, ...]:
         """(B, n_mels, T) -> (style_mu, style_logvar, content_mu, content_logvar)."""
@@ -157,9 +170,20 @@ class DisentangledVAE(nn.Module):
                  q_z1_mu, q_z1_logvar, q_z2_mu, q_z2_logvar,
                  z_style_mu, z_style_logvar).
         """
-        style_mu1, style_lv1, content_mu1, content_lv1 = self.encode(x1, train=train)
+        if self.pair_fused:
+            b = x1.shape[0]
+            s_mu, s_lv, c_mu, c_lv = self.encode(
+                jnp.concatenate([x1, x2], axis=0), train=train)
+            style_mu1, style_mu2 = s_mu[:b], s_mu[b:]
+            style_lv1, style_lv2 = s_lv[:b], s_lv[b:]
+            content_mu1, content_mu2 = c_mu[:b], c_mu[b:]
+            content_lv1, content_lv2 = c_lv[:b], c_lv[b:]
+        else:
+            style_mu1, style_lv1, content_mu1, content_lv1 = \
+                self.encode(x1, train=train)
+            style_mu2, style_lv2, content_mu2, content_lv2 = \
+                self.encode(x2, train=train)
         z_content1 = self._reparameterize(content_mu1, content_lv1, train)
-        style_mu2, style_lv2, content_mu2, content_lv2 = self.encode(x2, train=train)
         z_content2 = self._reparameterize(content_mu2, content_lv2, train)
 
         style_mu2 = jax.lax.stop_gradient(style_mu2)
@@ -177,9 +201,15 @@ class DisentangledVAE(nn.Module):
         q_z2_mu = jnp.concatenate([z_style_mu, content_mu2], axis=-1)
         q_z2_lv = jnp.concatenate([z_style_lv, content_lv2], axis=-1)
 
-        recons_x1 = self.decode(z1, train=train)
-        recons_x2 = self.decode(z2, train=train)
-        recons_x1_hat = recons_x1 + self.postnet(recons_x1, train=train)
-        recons_x2_hat = recons_x2 + self.postnet(recons_x2, train=train)
+        if self.pair_fused:
+            recons = self.decode(jnp.concatenate([z1, z2], axis=0), train=train)
+            recons_hat = recons + self.postnet(recons, train=train)
+            recons_x1, recons_x2 = recons[:b], recons[b:]
+            recons_x1_hat, recons_x2_hat = recons_hat[:b], recons_hat[b:]
+        else:
+            recons_x1 = self.decode(z1, train=train)
+            recons_x2 = self.decode(z2, train=train)
+            recons_x1_hat = recons_x1 + self.postnet(recons_x1, train=train)
+            recons_x2_hat = recons_x2 + self.postnet(recons_x2, train=train)
         return (recons_x1, recons_x2, recons_x1_hat, recons_x2_hat,
                 q_z1_mu, q_z1_lv, q_z2_mu, q_z2_lv, z_style_mu, z_style_lv)

@@ -101,19 +101,77 @@ class ConvNorm(nn.Module):
 
 class BatchNorm(nn.Module):
     """torch BatchNorm1d semantics over (B, T, C): normalize per-channel across
-    (B, T); running stats in the `batch_stats` collection."""
+    (B, T); running stats in the `batch_stats` collection.
+
+    `groups` > 1 enables PAIR-FUSED normalization: the batch is treated as
+    `groups` stacked sub-batches (e.g. the two utterances of a GVAE pair run
+    through one 2B-batch conv/LSTM pass), and train-mode statistics are
+    computed PER GROUP over (B/groups, T) — numerically identical to calling
+    the layer `groups` times on the halves (which is what the reference does,
+    model/variational_base_vae.py:62-63), so training gradients match the
+    unfused path exactly.  Running stats are updated once with the MEAN of
+    the group statistics; the reference's two sequential EMA updates weight
+    the second half slightly more (O(1-momentum) per step) — both recursions
+    converge to the same stationary statistics, and training gradients are
+    unaffected (eval-time running stats only).
+    Param/collection layout matches flax.BatchNorm (scale/bias + mean/var
+    under "bn") so checkpoints are interchangeable with the unfused path.
+    """
 
     use_running_average: bool | None = None
     momentum: float = 0.9  # = 1 - torch momentum (0.1)
     epsilon: float = 1e-5
+    groups: int = 1
     dtype: Dtype | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, use_running_average: bool | None = None) -> jax.Array:
         ura = nn.merge_param("use_running_average", self.use_running_average,
                              use_running_average)
-        return nn.BatchNorm(use_running_average=ura, momentum=self.momentum,
-                            epsilon=self.epsilon, dtype=self.dtype, name="bn")(x)
+        if self.groups <= 1:
+            return nn.BatchNorm(use_running_average=ura, momentum=self.momentum,
+                                epsilon=self.epsilon, dtype=self.dtype,
+                                name="bn")(x)
+        return _GroupedBN(momentum=self.momentum, epsilon=self.epsilon,
+                          groups=self.groups, name="bn")(x, ura)
+
+
+class _GroupedBN(nn.Module):
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, use_running_average: bool) -> jax.Array:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+            y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+            return y * scale + bias
+
+        g = self.groups
+        b, t, _ = x.shape
+        assert b % g == 0, f"batch {b} must divide groups {g}"
+        xg = x.reshape(g, b // g, t, c).astype(jnp.float32)
+        mean_g = jnp.mean(xg, axis=(1, 2), keepdims=True)        # (g,1,1,C)
+        var_g = jnp.mean((xg - mean_g) ** 2, axis=(1, 2), keepdims=True)
+        y = (xg - mean_g) * jax.lax.rsqrt(var_g + self.epsilon)
+        y = y.reshape(b, t, c).astype(x.dtype) * scale + bias
+        if not self.is_initializing():
+            # torch tracks the UNBIASED batch variance in running stats
+            n = (b // g) * t
+            unbias = n / max(n - 1, 1)
+            ra_mean.value = self.momentum * ra_mean.value \
+                + (1 - self.momentum) * jnp.mean(mean_g[:, 0, 0, :], axis=0)
+            ra_var.value = self.momentum * ra_var.value \
+                + (1 - self.momentum) * jnp.mean(var_g[:, 0, 0, :], axis=0) * unbias
+        return y
 
 
 def _torch_lstm_init(hidden: int) -> Callable:

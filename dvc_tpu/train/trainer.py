@@ -44,7 +44,7 @@ class TrainState(struct.PyTreeNode):
 def create_train_state(rng: jax.Array, cfg: Config,
                        optimizer: optax.GradientTransformation | None = None
                        ) -> tuple[DisentangledVAE, TrainState, optax.GradientTransformation]:
-    model = DisentangledVAE(cfg.vae)
+    model = DisentangledVAE(cfg.vae, pair_fused=cfg.vae.pair_fused)
     dummy = jnp.zeros((2, cfg.vae.num_mels, cfg.vae.frames), jnp.float32)
     variables = model.init({"params": rng, "reparam": rng}, dummy, dummy, train=True)
     params = variables["params"]
