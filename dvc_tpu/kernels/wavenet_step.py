@@ -25,14 +25,18 @@ Numerical contract: identical to models.wavenet.fast_generate (and therefore
 to the teacher-forced conv forward) up to the RNG stream, which here is the
 TPU hardware PRNG instead of jax.random.
 
-Measured (v5e, full 24-layer config, bf16 weights; timings close with a
-value fetch — this environment's block_until_ready acks early):
-    batch 8:  2821 samples/s/utt (22.6k aggregate)
-    batch 16: 3084 samples/s/utt (49.3k aggregate)
-    batch 64: 2632 samples/s/utt (168.4k aggregate)
-    batch 128: 1663 samples/s/utt (212.9k aggregate — 13.3x realtime)
-The 16MB scoped-vmem cap was a compiler default; vmem_limit_bytes=100MB
-lets the (504, B, 512) ring buffers stay resident up to b>=64.
+Measured (v5e, full 24-layer config, bf16 weights; best-of-3 with
+value-fetch-closed timing — this environment's block_until_ready acks early):
+    batch 8:   2962 samples/s/utt (23.7k aggregate)
+    batch 128: 2938 samples/s/utt (376k aggregate — 23.5x realtime)
+Per-utterance throughput is ~flat in batch: the loop is bound by per-layer
+body latency, so batching is nearly free up to the VMEM limit.
+Tuning history: (a) the 16MB scoped-vmem cap was a compiler default —
+vmem_limit_bytes=100MB keeps the (504, B, 512) ring buffers resident to
+b=128; (b) streaming biases as (lb,1,C) blocks instead of dynamic pl.ds
+reads from resident arrays gave +77%% at b128 (dynamic sublane indexing
+stalls); (c) fusing the 6 matmuls into 2 measured 3.4x WORSE (concat
+copies + wide-K small-M matmuls), so fuse_matmuls defaults off.
 
 
 int8 weight streaming (quantize_int8=True) is available — halves HBM bytes
@@ -95,6 +99,13 @@ def pack_wavenet_params(params: dict, cfg: VocoderConfig,
     dil = np.array([cfg.dilation(i) for i in range(L)], np.int32)
     offs = np.concatenate([[0], np.cumsum(2 * dil)[:-1]]).astype(np.int32)
 
+    # fused layouts: one input-side matmul [x_2d; x_d; x_t; cond] @ w_cat and
+    # one output-side matmul gated @ [w_skip | w_out] — six small matmuls per
+    # layer became two (small-M matmul issue overhead dominated the body)
+    w_cat = np.concatenate([w_dil[:, 0], w_dil[:, 1], w_dil[:, 2], w_c],
+                           axis=1)                      # (L, 3R+C, G)
+    w_so = np.concatenate([w_skip, w_out], axis=2)      # (L, G2, S+R)
+
     if quantize:
         qd = np.empty_like(w_dil, dtype=np.int8)
         sd = np.empty((L, 3, w_dil.shape[-1]), np.float32)
@@ -115,6 +126,10 @@ def pack_wavenet_params(params: dict, cfg: VocoderConfig,
         scales = {"s_dil": jnp.asarray(sd), "s_out": jnp.asarray(so),
                   "s_c": jnp.asarray(sc), "s_skip": jnp.asarray(ss)}
         wdt = jnp.int8
+        # rebuild fused layouts from the quantized tensors is not supported;
+        # the quantized path keeps the unfused 6-matmul body
+        w_cat = np.zeros((L, 1, 1), np.int8)
+        w_so = np.zeros((L, 1, 1), np.int8)
     else:
         scales = {}
         wdt = dtype
@@ -127,9 +142,11 @@ def pack_wavenet_params(params: dict, cfg: VocoderConfig,
         "w_out": jnp.asarray(w_out, wdt),                    # (L, G/2, R)
         "w_c": jnp.asarray(w_c, wdt),                        # (L, C, G)
         "w_skip": jnp.asarray(w_skip, wdt),                  # (L, G/2, S)
-        "b_dil": jnp.asarray(b_dil, jnp.float32),            # (L, G)
-        "b_skip": jnp.asarray(b_skip, jnp.float32),          # (L, S)
-        "b_out": jnp.asarray(b_out, jnp.float32),            # (L, R)
+        "w_cat": jnp.asarray(w_cat, wdt),                    # (L, 3R+C, G)
+        "w_so": jnp.asarray(w_so, wdt),                      # (L, G/2, S+R)
+        "b_dil": jnp.asarray(b_dil, jnp.float32)[:, None, :],    # (L, 1, G)
+        "b_skip": jnp.asarray(b_skip, jnp.float32)[:, None, :],  # (L, 1, S)
+        "b_out": jnp.asarray(b_out, jnp.float32)[:, None, :],    # (L, 1, R)
         "w_first": jnp.asarray(p("first_conv", "kernel")[0], jnp.float32),  # (1, R)
         "b_first": jnp.asarray(p("first_conv", "bias"), jnp.float32)[None, :],
         "w_f1": jnp.asarray(p("final1", "kernel")[0], dtype),  # (S, S)
@@ -150,7 +167,7 @@ def _uniform_from_bits(bits):
 
 def _make_kernel(cfg: VocoderConfig, t_total: int, batch: int,
                  deterministic: bool = False, quantized: bool = False,
-                 lb: int = 1):
+                 lb: int = 1, fused: bool = False):
     """lb = layers per grid block: the (T, L) grid pays Mosaic's per-iteration
     bookkeeping L times per sample; lb>1 runs lb statically-unrolled layers
     per iteration (weight blocks of lb layers stream together), trading VMEM
@@ -218,24 +235,40 @@ def _make_kernel(cfg: VocoderConfig, t_total: int, batch: int,
             x_tm2d = bufs[pl.ds(tap_2d, 1)][0].astype(jnp.float32)
             x_tmd = bufs[pl.ds(tap_d, 1)][0].astype(jnp.float32)
 
-            w = w_dil_ref[j]                       # (3, R, G)
-            sd = s_dil_ref[pl.ds(ll, 1)][0] if quantized else None  # (3, G)
-            conv = (mm(x_tm2d, w[0], sd[0][None, :] if quantized else None)
-                    + mm(x_tmd, w[1], sd[1][None, :] if quantized else None)
-                    + mm(h_in, w[2], sd[2][None, :] if quantized else None)
-                    + b_dil_ref[pl.ds(ll, 1)][0]
-                    + mm(cond_ref[0], w_c_ref[j],
-                         s_c_ref[pl.ds(ll, 1)][0][None, :] if quantized else None))
-            a = conv[:, :G2]
-            g = conv[:, G2:]
-            gated = jnp.tanh(a) * jax.nn.sigmoid(g)    # (B, G2) f32
+            if fused:
+                # ONE input-side matmul over [x_2d; x_d; x_t; cond] and one
+                # output-side matmul [skip | out] — small-M matmul issue
+                # overhead dominated the 6-matmul body
+                xcat = jnp.concatenate(
+                    [x_tm2d, x_tmd, h_in, cond_ref[0].astype(jnp.float32)],
+                    axis=-1)
+                conv = (mm(xcat, w_dil_ref[j])       # w_cat block (3R+C, G)
+                        + b_dil_ref[j, 0])
+                a = conv[:, :G2]
+                g = conv[:, G2:]
+                gated = jnp.tanh(a) * jax.nn.sigmoid(g)
+                so = mm(gated, w_out_ref[j])         # w_so block (G2, S+R)
+                s = so[:, :S] + b_skip_ref[j, 0]
+                res = so[:, S:] + b_out_ref[j, 0]
+            else:
+                w = w_dil_ref[j]                       # (3, R, G)
+                sd = s_dil_ref[pl.ds(ll, 1)][0] if quantized else None  # (3, G)
+                conv = (mm(x_tm2d, w[0], sd[0][None, :] if quantized else None)
+                        + mm(x_tmd, w[1], sd[1][None, :] if quantized else None)
+                        + mm(h_in, w[2], sd[2][None, :] if quantized else None)
+                        + b_dil_ref[j, 0]
+                        + mm(cond_ref[0], w_c_ref[j],
+                             s_c_ref[pl.ds(ll, 1)][0][None, :] if quantized else None))
+                a = conv[:, :G2]
+                g = conv[:, G2:]
+                gated = jnp.tanh(a) * jax.nn.sigmoid(g)    # (B, G2) f32
 
-            s = (mm(gated, w_skip_ref[j],
-                    s_skip_ref[pl.ds(ll, 1)][0][None, :] if quantized else None)
-                 + b_skip_ref[pl.ds(ll, 1)][0])
-            res = (mm(gated, w_out_ref[j],
-                      s_out_ref[pl.ds(ll, 1)][0][None, :] if quantized else None)
-                   + b_out_ref[pl.ds(ll, 1)][0])
+                s = (mm(gated, w_skip_ref[j],
+                        s_skip_ref[pl.ds(ll, 1)][0][None, :] if quantized else None)
+                     + b_skip_ref[j, 0])
+                res = (mm(gated, w_out_ref[j],
+                          s_out_ref[pl.ds(ll, 1)][0][None, :] if quantized else None)
+                       + b_out_ref[j, 0])
 
             # push this layer's input into its ring buffer (overwrites x_{t-2d})
             bufs[pl.ds(tap_2d, 1)] = h_in.astype(bufs.dtype)[None]
@@ -291,7 +324,8 @@ def pallas_generate(variables: dict, c_frames: jax.Array, seed: int,
                     weight_dtype=jnp.bfloat16,
                     deterministic: bool = False,
                     quantize_int8: bool = False,
-                    layers_per_block: int = 1) -> jax.Array:
+                    layers_per_block: int = 1,
+                    fuse_matmuls: bool = False) -> jax.Array:
     """(B, T_frames, n_mels) mel -> (B, T_frames * hop) sampled waveform.
 
     quantize_int8: stream the four big weight families as int8 with
@@ -314,8 +348,9 @@ def pallas_generate(variables: dict, c_frames: jax.Array, seed: int,
     C_dim = cfg.cin_channels
 
     lb = layers_per_block
+    fused = fuse_matmuls and not quantize_int8
     kernel = _make_kernel(cfg, t_total, b, deterministic=deterministic,
-                          quantized=quantize_int8, lb=lb)
+                          quantized=quantize_int8, lb=lb, fused=fused)
     act_dtype = jnp.bfloat16 if quantize_int8 else weight_dtype
     L_dim = cfg.layers
     if quantize_int8:
@@ -334,21 +369,32 @@ def pallas_generate(variables: dict, c_frames: jax.Array, seed: int,
         in_specs=[
             pl.BlockSpec((1, b, C), lambda t, l, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),            # cond (T, B, C)
-            pl.BlockSpec((lb, 3, R, G), lambda t, l, *_: (l, 0, 0, 0),
-                         memory_space=pltpu.VMEM),            # w_dil stream
-            pl.BlockSpec((lb, G2, R), lambda t, l, *_: (l, 0, 0),
-                         memory_space=pltpu.VMEM),            # w_out stream
-            pl.BlockSpec((lb, C_dim, G), lambda t, l, *_: (l, 0, 0),
-                         memory_space=pltpu.VMEM),            # w_c stream
-            pl.BlockSpec((lb, G2, S), lambda t, l, *_: (l, 0, 0),
-                         memory_space=pltpu.VMEM),            # w_skip stream
+            # slot A/B: fused = (w_cat, w_so); unfused = (w_dil, w_out)
+            (pl.BlockSpec((lb, 3 * R + C_dim, G), lambda t, l, *_: (l, 0, 0),
+                          memory_space=pltpu.VMEM) if fused else
+             pl.BlockSpec((lb, 3, R, G), lambda t, l, *_: (l, 0, 0, 0),
+                          memory_space=pltpu.VMEM)),
+            (pl.BlockSpec((lb, G2, S + R), lambda t, l, *_: (l, 0, 0),
+                          memory_space=pltpu.VMEM) if fused else
+             pl.BlockSpec((lb, G2, R), lambda t, l, *_: (l, 0, 0),
+                          memory_space=pltpu.VMEM)),
+            # slots C/D only used unfused; fused passes small dummies
+            (pl.BlockSpec(memory_space=pltpu.VMEM) if fused else
+             pl.BlockSpec((lb, C_dim, G), lambda t, l, *_: (l, 0, 0),
+                          memory_space=pltpu.VMEM)),
+            (pl.BlockSpec(memory_space=pltpu.VMEM) if fused else
+             pl.BlockSpec((lb, G2, S), lambda t, l, *_: (l, 0, 0),
+                          memory_space=pltpu.VMEM)),
             pl.BlockSpec(memory_space=pltpu.VMEM),            # s_dil
             pl.BlockSpec(memory_space=pltpu.VMEM),            # s_out
             pl.BlockSpec(memory_space=pltpu.VMEM),            # s_c
             pl.BlockSpec(memory_space=pltpu.VMEM),            # s_skip
-            pl.BlockSpec(memory_space=pltpu.VMEM),            # b_dil
-            pl.BlockSpec(memory_space=pltpu.VMEM),            # b_skip
-            pl.BlockSpec(memory_space=pltpu.VMEM),            # b_out
+            pl.BlockSpec((lb, 1, G), lambda t, l, *_: (l, 0, 0),
+                         memory_space=pltpu.VMEM),            # b_dil stream
+            pl.BlockSpec((lb, 1, S), lambda t, l, *_: (l, 0, 0),
+                         memory_space=pltpu.VMEM),            # b_skip stream
+            pl.BlockSpec((lb, 1, R), lambda t, l, *_: (l, 0, 0),
+                         memory_space=pltpu.VMEM),            # b_out stream
             pl.BlockSpec(memory_space=pltpu.VMEM),            # w_first
             pl.BlockSpec(memory_space=pltpu.VMEM),            # b_first
             pl.BlockSpec(memory_space=pltpu.VMEM),            # w_f1
@@ -378,7 +424,10 @@ def pallas_generate(variables: dict, c_frames: jax.Array, seed: int,
         interpret=interpret,
     )(packed["dil"], packed["offs"], jnp.asarray([seed], jnp.int32),
       jnp.swapaxes(cond, 0, 1).astype(jnp.float32),   # (T, B, C)
-      packed["w_dil"], packed["w_out"], packed["w_c"], packed["w_skip"],
+      *((packed["w_cat"], packed["w_so"],
+         jnp.zeros((1, 8, 128), jnp.float32), jnp.zeros((1, 8, 128), jnp.float32))
+        if fused else
+        (packed["w_dil"], packed["w_out"], packed["w_c"], packed["w_skip"])),
       *scale_args,
       packed["b_dil"], packed["b_skip"], packed["b_out"],
       packed["w_first"], packed["b_first"], packed["w_f1"], packed["b_f1"],
@@ -471,7 +520,7 @@ def _make_kernel_v2(cfg: VocoderConfig, batch: int, deterministic: bool):
                               preferred_element_type=jnp.float32)
                     + jnp.dot(h.astype(w.dtype), w[2],
                               preferred_element_type=jnp.float32)
-                    + b_dil_ref[l][None, :]
+                    + b_dil_ref[l, 0][None, :]
                     + jnp.dot(cond_t.astype(w.dtype), w_c_ref[l],
                               preferred_element_type=jnp.float32))
             a = conv[:, :G2]
@@ -480,11 +529,11 @@ def _make_kernel_v2(cfg: VocoderConfig, batch: int, deterministic: bool):
 
             s = (jnp.dot(gated.astype(w_skip_ref.dtype), w_skip_ref[l],
                          preferred_element_type=jnp.float32)
-                 + b_skip_ref[l][None, :])
+                 + b_skip_ref[l, 0][None, :])
             dma_o(l, slot).wait()
             res = (jnp.dot(gated.astype(wo_vmem.dtype), wo_vmem[slot],
                            preferred_element_type=jnp.float32)
-                   + b_out_ref[l][None, :])
+                   + b_out_ref[l, 0][None, :])
 
             bufs[pl.ds(tap_2d, 1)] = h.astype(bufs.dtype)[None]
             h = (res + h) * SQRT_HALF
