@@ -128,7 +128,23 @@ class Trainer:
     use_mesh: bool = True
 
     def __post_init__(self):
-        self.mesh = make_mesh(self.cfg.mesh) if self.use_mesh else None
+        if self.use_mesh:
+            # the data axis must divide the batch; use the largest divisor of
+            # batch_size that fits the available devices (e.g. batch 2 on an
+            # 8-device mesh -> dp=2) so small-batch runs work everywhere
+            import dataclasses as _dc
+            import jax as _jax
+            mesh_cfg = self.cfg.mesh
+            n = len(_jax.devices())
+            dp = mesh_cfg.data_parallel if mesh_cfg.data_parallel > 0 else \
+                n // max(1, mesh_cfg.model_parallel)
+            b = self.cfg.train.batch_size
+            while dp > 1 and b % dp != 0:
+                dp -= 1
+            mesh_cfg = _dc.replace(mesh_cfg, data_parallel=dp)
+            self.mesh = make_mesh(mesh_cfg)
+        else:
+            self.mesh = None
         rng = jax.random.PRNGKey(self.cfg.train.seed)
         self.model, self.state, self.optimizer = create_train_state(rng, self.cfg)
         self.train_step = make_train_step(
