@@ -103,6 +103,9 @@ def cmd_convert(args) -> int:
     if args.vocoder_ckpt:
         from dvc_tpu.convert.vocode import make_vocoder
         vocoder = make_vocoder(args.vocoder_ckpt)
+    elif args.vocoder == "griffinlim":
+        from dvc_tpu.convert.griffinlim import make_griffinlim_vocoder
+        vocoder = make_griffinlim_vocoder(cfg.audio, n_iter=args.gl_iters)
 
     converter = VoiceConverter(cfg, trainer.model, variables, seed=args.seed)
     converter.convert_speaker_pair(
@@ -188,25 +191,52 @@ def cmd_train_fs(args) -> int:
     return 0
 
 
-def cmd_eval_mcd(args) -> int:
+def _pair_converted_to_source(src_dir: str, cvt_dir: str) -> list:
+    """Match converted wavs to their source wavs without renaming.
+
+    Supports both naming conventions:
+      * this repo's converter output (convert/conversion.py:110):
+        <cvt_dir>/[<src>_to_<trg>/]convert_<src>_to_<trg>_<utt_id>.wav
+        matched to a source wav whose stem ends with _<utt_id> (or equals it);
+      * the reference's MCD_calculate.py:72 convention: <utt>_cv.wav
+        matched to <src_dir>/<utt>.wav.
+    Returns [(src_fp, cvt_fp), ...] sorted by converted path.
+    """
     from glob import glob
+
+    src_fps = sorted(glob(os.path.join(src_dir, "**", "*.wav"), recursive=True))
+    by_stem = {os.path.splitext(os.path.basename(fp))[0]: fp for fp in src_fps}
+
+    pairs = []
+    for fp in sorted(glob(os.path.join(cvt_dir, "**", "*.wav"), recursive=True)):
+        stem = os.path.splitext(os.path.basename(fp))[0]
+        if stem.startswith("convert_"):
+            utt_id = stem.rsplit("_", 1)[-1]
+            cands = [s for stem_s, s in sorted(by_stem.items())
+                     if stem_s == utt_id or stem_s.endswith("_" + utt_id)]
+            if cands:
+                pairs.append((cands[0], fp))
+        else:
+            src_fp = by_stem.get(stem.split("_cv")[0])
+            if src_fp:
+                pairs.append((src_fp, fp))
+    return pairs
+
+
+def cmd_eval_mcd(args) -> int:
     import numpy as np
     from dvc_tpu.eval.mcd import evaluate_mcd_wav
     from dvc_tpu.utils.wavio import read_wav
 
-    cvt_fps = sorted(glob(os.path.join(args.cvt_dir, "*.wav")))
-    src, cvt = [], []
-    for fp in cvt_fps:
-        utt = os.path.basename(fp).split("_cv")[0] + ".wav"
-        src_fp = os.path.join(args.src_dir, utt)
-        if not os.path.exists(src_fp):
-            continue
-        src.append(read_wav(src_fp)[0])
-        cvt.append(read_wav(fp)[0])
+    pairs = _pair_converted_to_source(args.src_dir, args.cvt_dir)
+    src = [read_wav(s)[0] for s, _ in pairs]
+    cvt = [read_wav(c)[0] for _, c in pairs]
     mcds = evaluate_mcd_wav(src, cvt)
-    for fp, m in zip(cvt_fps, mcds):
+    for (_, fp), m in zip(pairs, mcds):
         print(f"utterance {os.path.basename(fp)} mcd: {m}")
-    print("MCD value between two speaker: ", float(np.mean(mcds)) if mcds else None)
+    finite = [m for m in mcds if np.isfinite(m)]
+    print("MCD value between two speaker: ",
+          float(np.mean(finite)) if finite else None)
     return 0
 
 
@@ -244,7 +274,12 @@ def main(argv=None) -> int:
     p.add_argument("--src_spk", default="VCTK-Corpus_wav16_p225")
     p.add_argument("--trg_spk", default="VCTK-Corpus_wav16_p226")
     p.add_argument("--num_utterances", type=int, default=2)
-    p.add_argument("--vocoder_ckpt", default="")
+    p.add_argument("--vocoder_ckpt", default="",
+                   help="WaveNet checkpoint (msgpack); overrides --vocoder")
+    p.add_argument("--vocoder", default="griffinlim",
+                   choices=["none", "griffinlim"],
+                   help="checkpoint-free vocoder used when no --vocoder_ckpt")
+    p.add_argument("--gl_iters", type=int, default=32)
     p.set_defaults(fn=cmd_convert)
 
     p = sub.add_parser("train-speaker")

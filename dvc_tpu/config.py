@@ -213,7 +213,24 @@ def training_preset() -> Config:
     return Config()
 
 
+@dataclass(frozen=True)
+class ConversionSpec:
+    """The conversion-run identity carried by conversion.sh:2-3,13-14."""
+
+    src_spk: str
+    trg_spk: str
+    num_utterances: int = 2  # reference converts the first 2 sorted utts
+                             # (variational_base_vae.py:264)
+
+
 def conversion_preset(src_spk: str = "VCTK-Corpus_wav16_p225",
-                      trg_spk: str = "VCTK-Corpus_wav16_p226") -> Config:
-    """Conversion-time settings (reference conversion.sh:1-14)."""
-    return Config()
+                      trg_spk: str = "VCTK-Corpus_wav16_p226"
+                      ) -> tuple[Config, ConversionSpec]:
+    """Conversion-time settings (reference conversion.sh:1-14).
+
+    The Config equals the training preset: conversion.sh passes
+    --samples_length=128 but the reference's chunking_mel hardcodes 64-frame
+    chunks (variational_base_vae.py:337) and the VAE geometry cannot take
+    other lengths, so 64 is the effective value and the one kept here.
+    """
+    return Config(), ConversionSpec(src_spk, trg_spk)

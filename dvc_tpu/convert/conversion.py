@@ -125,6 +125,15 @@ class VoiceConverter:
             f"convert_{src_spk}_{trg_spk}_{utt_id}")
         save_mel_png(recons, os.path.join(save_dir, f"recons_{src_spk}_{utt_id}.png"),
                      f"reconstruct_{src_spk}_{utt_id}")
+        # source ⊙ (recons / converted) — the reference computes this
+        # quantity (variational_base_vae.py:301) but never plots it; saved
+        # here as the extra diagnostic it was evidently meant to be
+        t = min(source.shape[1], recons.shape[1])
+        detail = source[:, :t] * (recons[:, :t]
+                                  / np.maximum(converted[:, :t], 1e-6))
+        save_mel_png(detail, os.path.join(
+            save_dir, f"spectral_detail_{src_spk}_{trg_spk}_{utt_id}.png"),
+            f"spectral_detail_{src_spk}_{trg_spk}_{utt_id}")
 
     @staticmethod
     def _write_wav(path: str, wav: np.ndarray, sample_rate: int = 16_000):

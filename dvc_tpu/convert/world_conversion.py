@@ -53,23 +53,29 @@ def convert_mcc(model, variables, src_norm_mc: np.ndarray,
     return np.asarray(unchunk_mel(converted))
 
 
-def world_convert_utterance(model, variables, src_npz: dict, trg_stats: dict,
+def world_convert_utterance(model, variables, src_npz: dict, trg_npz: dict,
+                            trg_stats: dict,
                             src_logf0_stats: dict, trg_logf0_stats: dict,
                             fs: int = 16_000, frame_period: float = 5.0,
                             frames: int = 128) -> np.ndarray:
     """Full WORLD-path conversion of one utterance.
 
-    src_npz: dict with keys f0, normalized_mc (T, n_mcep) — the
-    data/world_preprocess.py contract; trg_stats: {"mean", "std"} mcep stats
-    of the TARGET speaker ((n_mcep, 1) as stored); *_logf0_stats:
-    {"mean", "std"} scalars.  Returns the synthesized waveform.
+    src_npz / trg_npz: dicts with keys f0, normalized_mc (T, n_mcep) — the
+    data/world_preprocess.py contract.  The TARGET utterance supplies the
+    style latent for the swap (latent-swap semantics of reference
+    model/variational_base_vae.py:277-296: target style + source content);
+    trg_stats: {"mean", "std"} mcep stats of the TARGET speaker ((n_mcep, 1)
+    as stored); *_logf0_stats: {"mean", "std"} scalars.  Returns the
+    synthesized waveform.
     """
     src_f0 = np.asarray(src_npz["f0"])
     src_norm = np.asarray(src_npz["normalized_mc"]).T  # (n_mcep, T)
+    trg_norm = np.asarray(trg_npz["normalized_mc"]).T  # (n_mcep, T')
     t = src_norm.shape[1]
 
-    # 1-2. latent swap + target-space denormalization
-    conv_norm = convert_mcc(model, variables, src_norm, src_norm, frames)[:, :t]
+    # 1-2. latent swap (target style, source content) + target-space
+    # denormalization
+    conv_norm = convert_mcc(model, variables, src_norm, trg_norm, frames)[:, :t]
     mc = conv_norm.T * np.asarray(trg_stats["std"]).T \
         + np.asarray(trg_stats["mean"]).T              # (T, n_mcep)
 

@@ -65,12 +65,18 @@ def mcd_from_mcc(src_mcc: np.ndarray, trg_mcc: np.ndarray,
     """MCD between two MCC sequences, exactly the reference math (:79-93):
     voiced-only frames (f0 > 0), first `num_coeffs` coefficients, DTW align,
     10/ln10 * sqrt(2 * sum diff^2) averaged over the path."""
-    if src_f0 is not None:
-        src_mcc = src_mcc[np.where(src_f0 > 0)[0]]
-    if trg_f0 is not None:
-        trg_mcc = trg_mcc[np.where(trg_f0 > 0)[0]]
-    src_mcc = src_mcc[:, :num_coeffs]
-    trg_mcc = trg_mcc[:, :num_coeffs]
+    src_v = src_mcc[np.where(src_f0 > 0)[0]] if src_f0 is not None else src_mcc
+    trg_v = trg_mcc[np.where(trg_f0 > 0)[0]] if trg_f0 is not None else trg_mcc
+    if len(src_v) == 0 or len(trg_v) == 0:
+        # Degenerate case the reference leaves undefined (fastdtw crashes on
+        # an empty sequence, MCD_calculate.py:86): one side has no voiced
+        # frames.  Fall back to all frames so eval stays total; nan only if
+        # a wav produced no frames at all.
+        src_v, trg_v = src_mcc, trg_mcc
+        if len(src_v) == 0 or len(trg_v) == 0:
+            return float("nan")
+    src_mcc = src_v[:, :num_coeffs]
+    trg_mcc = trg_v[:, :num_coeffs]
     px, py = dtw_path(src_mcc, trg_mcc)
     diff2sum = np.sum((src_mcc[px] - trg_mcc[py]) ** 2, axis=1)
     return float(np.mean(10.0 / np.log(10.0) * np.sqrt(2.0 * diff2sum)))

@@ -433,208 +433,3 @@ def pallas_generate(variables: dict, c_frames: jax.Array, seed: int,
       packed["w_first"], packed["b_first"], packed["w_f1"], packed["b_f1"],
       packed["w_f2"], packed["b_f2"])
     return out[:, 0, :].T  # (B, T)
-
-
-# --------------------------------------------------------------------------
-# v2 (EXPERIMENT — measured SLOWER than v1, kept for reference): grid (T,)
-# with a fully unrolled layer loop and manual double-buffered weight DMA.
-# Hypothesis was that the (T, L) grid pays Mosaic per-iteration bookkeeping
-# 24x per sample; measured on v5e (full 24-layer config, batch 8):
-#   v1 (grid (T, L), auto-pipelined blocks): 1798 samples/s/utt, ~23 s compile
-#   v2 (grid (T,), unrolled + manual DMA):   1006 samples/s/utt, ~570 s compile
-# (both variants timed the same way). Mosaic's automatic block pipelining
-# overlaps DMA better than this manual schedule, and the 24x-unrolled body
-# blows up compile time.  v1 is the
-# production path (convert/vocode.py).  VMEM note: batch 32 OOMs the 16MB
-# scoped vmem (ring buffers (504, B, 512) bf16 alone are 16.5MB at B=32);
-# scaling batch needs HBM-resident ring buffers (round-2 work).
-# --------------------------------------------------------------------------
-
-def _make_kernel_v2(cfg: VocoderConfig, batch: int, deterministic: bool):
-    L = cfg.layers
-    R = cfg.residual_channels
-    G = cfg.gate_channels
-    G2 = G // 2
-    S = cfg.skip_out_channels
-    K = cfg.out_channels
-    nr_mix = K // 3
-    legacy = cfg.legacy
-    log_scale_min = np.float32(cfg.log_scale_min)
-    dil = [cfg.dilation(i) for i in range(L)]
-    offs = np.concatenate([[0], np.cumsum([2 * d for d in dil])[:-1]]).astype(int)
-
-    def kernel(seed_ref,                                   # scalar prefetch
-               cond_ref,                                   # (1, B, C) VMEM, idx t
-               w_dil_hbm, w_out_hbm,                       # (L,3,R,G), (L,G2,R) in HBM
-               w_c_ref, w_skip_ref,                        # resident
-               b_dil_ref, b_skip_ref, b_out_ref,
-               w_first_ref, b_first_ref, w_f1_ref, b_f1_ref, w_f2_ref, b_f2_ref,
-               out_ref,                                    # (1, 1, B)
-               bufs, h_scr, skip_scr, x_prev,
-               wd_vmem, wo_vmem, sem_d, sem_o):            # weight slots + sems
-        t = pl.program_id(0)
-
-        @pl.when(t == 0)
-        def _init():
-            if not deterministic:
-                pltpu.prng_seed(seed_ref[0])
-            bufs[...] = jnp.zeros_like(bufs)
-            x_prev[...] = jnp.zeros_like(x_prev)
-
-        def dma_d(l, slot):
-            return pltpu.make_async_copy(w_dil_hbm.at[l], wd_vmem.at[slot],
-                                         sem_d.at[slot])
-
-        def dma_o(l, slot):
-            return pltpu.make_async_copy(w_out_hbm.at[l], wo_vmem.at[slot],
-                                         sem_o.at[slot])
-
-        dma_d(0, 0).start()
-        dma_o(0, 0).start()
-
-        x_col = x_prev[:, :1]
-        h = x_col * w_first_ref[0][None, :] + b_first_ref[0][None, :]
-        cond_t = cond_ref[0]
-        skips = None
-
-        for l in range(L):
-            d = dil[l]
-            off = int(offs[l])
-            two_d = 2 * d
-            slot = l % 2
-            if l + 1 < L:
-                dma_d(l + 1, 1 - slot).start()
-                dma_o(l + 1, 1 - slot).start()
-            dma_d(l, slot).wait()
-
-            wp = jax.lax.rem(t, two_d)
-            tap_2d = off + wp
-            tap_d = off + jax.lax.rem(wp + d, two_d)
-            x_tm2d = bufs[pl.ds(tap_2d, 1)][0].astype(jnp.float32)
-            x_tmd = bufs[pl.ds(tap_d, 1)][0].astype(jnp.float32)
-
-            w = wd_vmem[slot]
-            conv = (jnp.dot(x_tm2d.astype(w.dtype), w[0],
-                            preferred_element_type=jnp.float32)
-                    + jnp.dot(x_tmd.astype(w.dtype), w[1],
-                              preferred_element_type=jnp.float32)
-                    + jnp.dot(h.astype(w.dtype), w[2],
-                              preferred_element_type=jnp.float32)
-                    + b_dil_ref[l, 0][None, :]
-                    + jnp.dot(cond_t.astype(w.dtype), w_c_ref[l],
-                              preferred_element_type=jnp.float32))
-            a = conv[:, :G2]
-            g = conv[:, G2:]
-            gated = jnp.tanh(a) * jax.nn.sigmoid(g)
-
-            s = (jnp.dot(gated.astype(w_skip_ref.dtype), w_skip_ref[l],
-                         preferred_element_type=jnp.float32)
-                 + b_skip_ref[l, 0][None, :])
-            dma_o(l, slot).wait()
-            res = (jnp.dot(gated.astype(wo_vmem.dtype), wo_vmem[slot],
-                           preferred_element_type=jnp.float32)
-                   + b_out_ref[l, 0][None, :])
-
-            bufs[pl.ds(tap_2d, 1)] = h.astype(bufs.dtype)[None]
-            h = (res + h) * SQRT_HALF
-            if skips is None:
-                skips = s
-            else:
-                skips = (skips + s) * (SQRT_HALF if legacy else 1.0)
-
-        o = jax.nn.relu(skips)
-        o = jax.nn.relu(jnp.dot(o.astype(w_f1_ref.dtype), w_f1_ref[...],
-                                preferred_element_type=jnp.float32)
-                        + b_f1_ref[0][None, :])
-        y_hat = jnp.dot(o, w_f2_ref[...],
-                        preferred_element_type=jnp.float32) + b_f2_ref[0][None, :]
-        logit = y_hat[:, :nr_mix]
-        if deterministic:
-            gumb = jnp.zeros_like(logit)
-        else:
-            u1 = _uniform_from_bits(pltpu.bitcast(
-                pltpu.prng_random_bits((batch, nr_mix)), jnp.int32))
-            gumb = -jnp.log(-jnp.log(u1))
-        sel_idx = jnp.argmax(logit + gumb, axis=-1)
-        onehot = (jax.lax.broadcasted_iota(jnp.int32, (batch, nr_mix), 1)
-                  == sel_idx[:, None]).astype(jnp.float32)
-        mean = jnp.sum(y_hat[:, nr_mix:2 * nr_mix] * onehot, axis=-1)
-        log_s = jnp.maximum(
-            jnp.sum(y_hat[:, 2 * nr_mix:] * onehot, axis=-1), log_scale_min)
-        if deterministic:
-            x = mean
-        else:
-            u2 = _uniform_from_bits(pltpu.bitcast(
-                pltpu.prng_random_bits((batch, nr_mix)), jnp.int32))[:, 0]
-            x = mean + jnp.exp(log_s) * (jnp.log(u2) - jnp.log1p(-u2))
-        x = jnp.clip(x, -1.0, 1.0)
-        x_prev[...] = jnp.broadcast_to(x[:, None], x_prev.shape)
-        out_ref[...] = x[None, None, :]
-
-    return kernel
-
-
-def pallas_generate_v2(variables: dict, c_frames: jax.Array, seed: int,
-                       cfg: VocoderConfig = VocoderConfig(),
-                       interpret: bool = False,
-                       weight_dtype=jnp.bfloat16,
-                       deterministic: bool = False) -> jax.Array:
-    """v2 of pallas_generate: grid (T,), unrolled layers, manual weight DMA."""
-    packed = pack_wavenet_params(variables["params"], cfg, weight_dtype)
-    from flax import linen as nn
-    up = nn.apply(lambda m, c: m.upsample(c), WaveNet(cfg))
-    cond = up(variables, c_frames)
-    b, t_total, C = cond.shape
-    L = cfg.layers
-    R = cfg.residual_channels
-    G = cfg.gate_channels
-    G2 = G // 2
-    S = cfg.skip_out_channels
-
-    kernel = _make_kernel_v2(cfg, b, deterministic)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # seed
-        grid=(t_total,),
-        in_specs=[
-            pl.BlockSpec((1, b, C), lambda t, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),          # cond
-            pl.BlockSpec(memory_space=pltpu.ANY),           # w_dil (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),           # w_out (HBM)
-            pl.BlockSpec(memory_space=pltpu.VMEM),          # w_c
-            pl.BlockSpec(memory_space=pltpu.VMEM),          # w_skip
-            pl.BlockSpec(memory_space=pltpu.VMEM),          # b_dil
-            pl.BlockSpec(memory_space=pltpu.VMEM),          # b_skip
-            pl.BlockSpec(memory_space=pltpu.VMEM),          # b_out
-            pl.BlockSpec(memory_space=pltpu.VMEM),          # w_first
-            pl.BlockSpec(memory_space=pltpu.VMEM),          # b_first
-            pl.BlockSpec(memory_space=pltpu.VMEM),          # w_f1
-            pl.BlockSpec(memory_space=pltpu.VMEM),          # b_f1
-            pl.BlockSpec(memory_space=pltpu.VMEM),          # w_f2
-            pl.BlockSpec(memory_space=pltpu.VMEM),          # b_f2
-        ],
-        out_specs=pl.BlockSpec((1, 1, b), lambda t, *_: (t, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((packed["buf_total"], b, R), weight_dtype),
-            pltpu.VMEM((b, R), jnp.float32),
-            pltpu.VMEM((b, S), jnp.float32),
-            pltpu.VMEM((b, 128), jnp.float32),
-            pltpu.VMEM((2, 3, R, G), weight_dtype),        # w_dil slots
-            pltpu.VMEM((2, G2, R), weight_dtype),          # w_out slots
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((t_total, 1, b), jnp.float32),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        interpret=interpret,
-    )(jnp.asarray([seed], jnp.int32),
-      jnp.swapaxes(cond, 0, 1).astype(jnp.float32),
-      packed["w_dil"], packed["w_out"], packed["w_c"], packed["w_skip"],
-      packed["b_dil"], packed["b_skip"], packed["b_out"],
-      packed["w_first"], packed["b_first"], packed["w_f1"], packed["b_f1"],
-      packed["w_f2"], packed["b_f2"])
-    return out[:, 0, :].T

@@ -27,7 +27,13 @@ def compute_partial_slices(n_samples: int, partial_utterance_n_frames: int = 63,
                            sampling_rate: int = 16_000,
                            mel_window_step_ms: int = 10
                            ) -> tuple[list[slice], list[slice]]:
-    """Exact reference math (encoder/inference.py:59-108)."""
+    """Sliding-window partial slices over an utterance.
+
+    The window/step/coverage arithmetic is a numeric parity contract with
+    reference encoder/inference.py:59-108 (50%-overlap windows; a short tail
+    window is kept only when it covers >= min_pad_coverage of a full one);
+    computed here vectorized over all window starts at once.
+    """
     assert 0 <= overlap < 1
     assert 0 < min_pad_coverage <= 1
 
@@ -35,20 +41,20 @@ def compute_partial_slices(n_samples: int, partial_utterance_n_frames: int = 63,
     n_frames = int(np.ceil((n_samples + 1) / samples_per_frame))
     frame_step = max(int(np.round(partial_utterance_n_frames * (1 - overlap))), 1)
 
-    wav_slices, mel_slices = [], []
-    steps = max(1, n_frames - partial_utterance_n_frames + frame_step + 1)
-    for i in range(0, steps, frame_step):
-        mel_range = np.array([i, i + partial_utterance_n_frames])
-        wav_range = mel_range * samples_per_frame
-        mel_slices.append(slice(*mel_range))
-        wav_slices.append(slice(*wav_range))
+    starts = np.arange(0, max(1, n_frames - partial_utterance_n_frames
+                              + frame_step + 1), frame_step)
+    ends = starts + partial_utterance_n_frames
 
-    last_wav_range = wav_slices[-1]
-    coverage = (n_samples - last_wav_range.start) / \
-        (last_wav_range.stop - last_wav_range.start)
-    if coverage < min_pad_coverage and len(mel_slices) > 1:
-        mel_slices = mel_slices[:-1]
-        wav_slices = wav_slices[:-1]
+    # Tail rule: the final window runs past the signal; keep it only if the
+    # real samples cover enough of it (otherwise it is mostly padding).
+    tail_cover = (n_samples - starts[-1] * samples_per_frame) \
+        / (partial_utterance_n_frames * samples_per_frame)
+    if tail_cover < min_pad_coverage and len(starts) > 1:
+        starts, ends = starts[:-1], ends[:-1]
+
+    mel_slices = [slice(int(a), int(b)) for a, b in zip(starts, ends)]
+    wav_slices = [slice(int(a) * samples_per_frame, int(b) * samples_per_frame)
+                  for a, b in zip(starts, ends)]
     return wav_slices, mel_slices
 
 

@@ -47,13 +47,47 @@ class TestCliFlow:
         assert any(c.startswith("DisentangledVAE_VCTK_1") for c in ckpts)
         assert os.path.exists(os.path.join(results, "config.json"))
 
-        # convert resumes the checkpoint and writes spectrogram pngs
+        # convert resumes the checkpoint, writes spectrogram pngs AND wavs
+        # (griffinlim vocoder needs no checkpoint)
         assert main(["convert", "--dataset_fp", mels, "--log_dir", results,
                      "--samples_length", "16", "--src_spk", "p225",
                      "--trg_spk", "p226", "--num_utterances", "1",
+                     "--vocoder", "griffinlim", "--gl_iters", "4",
                      "--compute-dtype", "float32"]) == 0
         gen = os.path.join(results, "generation", "p225_to_p226")
-        assert any(f.startswith("convert_") for f in os.listdir(gen))
+        wavs = [f for f in os.listdir(gen)
+                if f.startswith("convert_") and f.endswith(".wav")]
+        assert wavs, os.listdir(gen)
+
+    def test_convert_then_eval_mcd_without_renaming(self, fake_vctk, tmp_path,
+                                                    capsys):
+        """VERDICT item 7: the converter's own output layout feeds eval-mcd
+        directly — preprocess -> train -> convert -> eval-mcd yields a finite
+        MCD with no file renaming."""
+        import re
+
+        mels = str(tmp_path / "mels")
+        results = str(tmp_path / "results")
+        assert main(["preprocess", str(fake_vctk), "-o", mels,
+                     "-d", "VCTK", "--no_trim"]) == 0
+        assert main(["train", "--dataset_fp", mels, "--log_dir", results,
+                     "--epochs", "1", "--report-interval", "1",
+                     "--samples_length", "16", "--batch-size", "2",
+                     "--compute-dtype", "float32"]) == 0
+        assert main(["convert", "--dataset_fp", mels, "--log_dir", results,
+                     "--samples_length", "16", "--src_spk", "p225",
+                     "--trg_spk", "p226", "--num_utterances", "2",
+                     "--vocoder", "griffinlim", "--gl_iters", "4",
+                     "--compute-dtype", "float32"]) == 0
+        capsys.readouterr()
+        assert main(["eval-mcd",
+                     "--src_dir", str(fake_vctk / "VCTK-Corpus" / "wav16"
+                                      / "p225"),
+                     "--cvt_dir", os.path.join(results, "generation")]) == 0
+        out = capsys.readouterr().out
+        assert out.count("mcd:") == 2
+        m = re.search(r"MCD value between two speaker:\s+([0-9.]+)", out)
+        assert m and np.isfinite(float(m.group(1)))
 
     def test_eval_mcd_identical_is_zero(self, fake_vctk, tmp_path, capsys):
         cvt = tmp_path / "cvt"

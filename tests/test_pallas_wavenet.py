@@ -60,22 +60,6 @@ class TestPallasWaveNet:
         # trajectory must actually move (not all-zero / constant)
         assert float(jnp.std(want)) > 1e-4
 
-    def test_v2_matches_scan_sampler(self):
-        """v2 (grid (T,), unrolled layers, manual double-buffered weight DMA)
-        must be bit-identical to the scan sampler on the deterministic path."""
-        from dvc_tpu.kernels.wavenet_step import pallas_generate_v2
-
-        cfg = TINY
-        variables = _deterministic_variables(cfg, jax.random.PRNGKey(2))
-        c = jnp.asarray(np.random.RandomState(3).rand(2, 3, cfg.cin_channels),
-                        jnp.float32)
-        want = fast_generate(variables, c, jax.random.PRNGKey(9), cfg)
-        got = pallas_generate_v2(variables, c, seed=4, cfg=cfg,
-                                 interpret=True, weight_dtype=jnp.float32,
-                                 deterministic=True)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   rtol=2e-4, atol=2e-4)
-
     def test_int8_quantized_close(self):
         """int8 weight streaming (per-out-channel scales) stays within
         quantization-error distance of the f32 trajectory."""

@@ -172,6 +172,31 @@ class TestParityHarness:
 
 
 class TestWorldConversion:
+    def test_target_style_drives_mcc_conversion(self):
+        """With pitch held fixed, changing ONLY the target utterance must
+        change the converted MCCs (the style latent comes from the target —
+        guards against a src-as-trg no-op swap)."""
+        from dvc_tpu.convert.world_conversion import convert_mcc
+
+        cfg = C.VAEConfig(num_mels=36, frames=32, dim_neck=8, enc_channels=32,
+                          dim_pre=32, dec_lstm2_hidden=32, postnet_channels=32)
+        model = DisentangledVAE(cfg)
+        rngk = jax.random.PRNGKey(0)
+        x = jnp.zeros((2, 36, 32))
+        variables = model.init({"params": rngk, "reparam": rngk}, x, x,
+                               train=True)
+        rng = np.random.RandomState(1)
+        src = rng.randn(36, 64).astype(np.float32)
+        trg_a = rng.randn(36, 64).astype(np.float32)
+        trg_b = rng.randn(36, 64).astype(np.float32) * 0.3 + 1.0
+        out_a = convert_mcc(model, variables, src, trg_a, frames=32)
+        out_b = convert_mcc(model, variables, src, trg_b, frames=32)
+        assert out_a.shape == out_b.shape
+        assert not np.allclose(out_a, out_b)
+        # and the source content still matters (not a target-only passthrough)
+        out_c = convert_mcc(model, variables, trg_b, trg_a, frames=32)
+        assert not np.allclose(out_a, out_c)
+
     def test_end_to_end_mcc_conversion(self, tmp_path):
         """WORLD path: preprocess wavs -> npz, latent-swap on MCCs,
         pitch-convert, synthesize a waveform."""
@@ -206,9 +231,10 @@ class TestWorldConversion:
                                train=True)
 
         src_npz = dict(np.load(tmp_path / "npz" / "src" / "u0.npz"))
+        trg_npz = dict(np.load(tmp_path / "npz" / "trg" / "u0.npz"))
         trg_stats = dict(np.load(tmp_path / "npz" / "mcep_trg.npz"))
         wav = world_convert_utterance(
-            model, variables, src_npz, trg_stats,
+            model, variables, src_npz, trg_npz, trg_stats,
             {"mean": s_src["logf0_mean"], "std": s_src["logf0_std"]},
             {"mean": s_trg["logf0_mean"], "std": s_trg["logf0_std"]},
             frames=32)
