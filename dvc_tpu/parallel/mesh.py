@@ -68,26 +68,44 @@ def zero_sharding_for(tree: Any, mesh: Mesh) -> Any:
 
 
 def _model_spec(x: Any, mesh: Mesh, min_size: int = 2**12) -> NamedSharding:
-    """Tensor parallelism: shard the largest divisible axis of big weight
-    matrices over the model axis; GSPMD then partitions the matmuls and
-    inserts the ICI collectives."""
+    """Tensor parallelism, column-parallel rule (Megatron-style): only genuine
+    matmul weights shard, and only on their OUTPUT-features axis — the last
+    axis of Dense/LSTM kernels (in, out) and conv kernels (taps, in, out).
+    Each model-axis shard then computes a slice of the output features and
+    GSPMD inserts the all-gather at the consumer.  1-D vectors (biases, BN
+    scales/stats) and any weight whose feature axis doesn't divide stay
+    replicated — sharding conv taps or BN vectors would make GSPMD emit
+    arbitrary collectives for no bandwidth win."""
     model_axis = mesh.axis_names[1]
     n = mesh.shape[model_axis]
-    if n <= 1 or not hasattr(x, "shape") or x.ndim == 0 or x.size < min_size:
+    if (n <= 1 or not hasattr(x, "shape") or x.ndim < 2 or x.size < min_size
+            or x.shape[-1] % n != 0):
         return NamedSharding(mesh, P())
-    order = np.argsort(x.shape)[::-1]
-    for ax in order:
-        if x.shape[ax] % n == 0:
-            spec = [None] * x.ndim
-            spec[int(ax)] = model_axis
-            return NamedSharding(mesh, P(*spec))
-    return NamedSharding(mesh, P())
+    spec = [None] * (x.ndim - 1) + [model_axis]
+    return NamedSharding(mesh, P(*spec))
 
 
 def param_sharding_for(tree: Any, mesh: Mesh) -> Any:
     """Parameter shardings: model-axis tensor parallelism when the mesh has a
     non-trivial model axis, else full replication."""
     return jax.tree_util.tree_map(lambda x: _model_spec(x, mesh), tree)
+
+
+def train_state_shardings(state: Any, mesh: Mesh,
+                          shard_opt_state: bool = True) -> Any:
+    """Sharding pytree for a TrainState-like object (fields step / params /
+    batch_stats / opt_state): tensor-parallel params over the model axis,
+    ZeRO optimizer state over the data axis when enabled, scalars and BN
+    stats replicated.  Shared by the production Trainer and the multichip
+    dryrun so both compile the same sharded program."""
+    rep = NamedSharding(mesh, P())
+    replicate = lambda tree: jax.tree_util.tree_map(lambda _: rep, tree)
+    return state.replace(
+        step=rep,
+        params=param_sharding_for(state.params, mesh),
+        batch_stats=replicate(state.batch_stats),
+        opt_state=(zero_sharding_for(state.opt_state, mesh)
+                   if shard_opt_state else replicate(state.opt_state)))
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:

@@ -29,7 +29,13 @@ from flax.core import FrozenDict
 
 from dvc_tpu.config import Config
 from dvc_tpu.models.disentangled_vae import DisentangledVAE
-from dvc_tpu.parallel.mesh import make_mesh, shard_batch
+from dvc_tpu.parallel.mesh import (
+    data_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+    train_state_shardings,
+)
 from dvc_tpu.train.losses import LossTerms, gvae_pair_loss
 from dvc_tpu.train import checkpoint as ckpt_lib
 
@@ -147,11 +153,33 @@ class Trainer:
             self.mesh = None
         rng = jax.random.PRNGKey(self.cfg.train.seed)
         self.model, self.state, self.optimizer = create_train_state(rng, self.cfg)
-        self.train_step = make_train_step(
-            self.model, self.optimizer,
-            mse_cof=self.cfg.loss.mse_cof, kl_cof=self.cfg.loss.kl_cof,
-            compute_dtype=self.cfg.train.compute_dtype,
-            donate=self.cfg.train.donate_state)
+        if self.mesh is not None:
+            # explicit in/out shardings: tensor-parallel params over 'model'
+            # (replicated when model_parallel=1, the designed default for
+            # this ~50M-param model), ZeRO opt state over 'data' when
+            # MeshConfig.shard_opt_state, batch over 'data'
+            raw_step = make_train_step(
+                self.model, self.optimizer,
+                mse_cof=self.cfg.loss.mse_cof, kl_cof=self.cfg.loss.kl_cof,
+                compute_dtype=self.cfg.train.compute_dtype,
+                jit=False)
+            self._state_shardings = train_state_shardings(
+                self.state, self.mesh, self.cfg.mesh.shard_opt_state)
+            batch_sh = data_sharding(self.mesh, ndim=3)
+            rep = replicated(self.mesh)
+            self.train_step = jax.jit(
+                raw_step,
+                in_shardings=(self._state_shardings, batch_sh, batch_sh, rep),
+                out_shardings=(self._state_shardings, rep),
+                donate_argnums=(0,) if self.cfg.train.donate_state else ())
+            self.state = jax.device_put(self.state, self._state_shardings)
+        else:
+            self._state_shardings = None
+            self.train_step = make_train_step(
+                self.model, self.optimizer,
+                mse_cof=self.cfg.loss.mse_cof, kl_cof=self.cfg.loss.kl_cof,
+                compute_dtype=self.cfg.train.compute_dtype,
+                donate=self.cfg.train.donate_state)
         self._rng = jax.random.PRNGKey(self.cfg.train.seed + 1)
         self._writer = None
         self._eval_step = None
@@ -165,6 +193,9 @@ class Trainer:
         if loaded is None:
             return 1
         epoch, self.state = loaded
+        if self._state_shardings is not None:
+            # restore the explicit placement (ZeRO shards, TP shards)
+            self.state = jax.device_put(self.state, self._state_shardings)
         return epoch + 1
 
     def save(self, epoch: int) -> str:

@@ -52,6 +52,86 @@ class TestMesh:
         assert sh["w"].spec in (P("model", None), P(None, "model"))
 
 
+class TestTrainerSharding:
+    """VERDICT item 3: the production Trainer must jit with explicit
+    state shardings (TP params / ZeRO opt state), and the sharded path must
+    match the single-device path step-for-step."""
+
+    @staticmethod
+    def _tiny_cfg(shard_opt_state=True):
+        from dvc_tpu import config as C
+        vae = C.VAEConfig(frames=16, dim_neck=8, enc_channels=32, dim_pre=32,
+                          dec_lstm2_hidden=32, postnet_channels=32)
+        return C.Config(
+            vae=vae,
+            train=C.TrainConfig(batch_size=4, compute_dtype="float32",
+                                seed=3),
+            mesh=MeshConfig(shard_opt_state=shard_opt_state))
+
+    @staticmethod
+    def _fake_mels(tmp_path):
+        rng = np.random.RandomState(0)
+        for spk in ("s1", "s2"):
+            d = tmp_path / spk
+            d.mkdir(parents=True, exist_ok=True)
+            for i in range(4):
+                np.save(d / f"{spk}_{i:03d}_mel.npy",
+                        rng.rand(80, 24).astype(np.float32))
+        return str(tmp_path)
+
+    def test_sharded_trainer_matches_single_device(self, tmp_path):
+        from dvc_tpu.data.dataset import PairedMelDataset
+        from dvc_tpu.train.trainer import Trainer
+
+        root = self._fake_mels(tmp_path / "mels")
+        losses = {}
+        for use_mesh in (False, True):
+            cfg = self._tiny_cfg()
+            ds = PairedMelDataset(root, samples_length=16, seed=7)
+            tr = Trainer(cfg, use_mesh=use_mesh)
+            per_epoch = []
+            for epoch in (1, 2, 3):
+                totals = tr.train_epoch(ds, epoch)
+                per_epoch.append(totals["total"])
+            losses[use_mesh] = per_epoch
+        np.testing.assert_allclose(losses[True], losses[False],
+                                   rtol=5e-4, atol=1e-3)
+
+    def test_zero_sharding_honored(self):
+        from dvc_tpu.train.trainer import Trainer
+
+        tr = Trainer(self._tiny_cfg(shard_opt_state=True), use_mesh=True)
+        specs = [s.spec for s in jax.tree_util.tree_leaves(
+            tr._state_shardings.opt_state)]
+        assert any("data" in str(spec) for spec in specs), \
+            "no optimizer tensor sharded over the data axis"
+        # and the live opt state actually lives sharded on devices
+        big = [x for x in jax.tree_util.tree_leaves(tr.state.opt_state)
+               if hasattr(x, "sharding") and "data" in str(x.sharding.spec)]
+        assert big
+
+    def test_shard_opt_state_false_replicates(self):
+        from dvc_tpu.train.trainer import Trainer
+
+        tr = Trainer(self._tiny_cfg(shard_opt_state=False), use_mesh=True)
+        specs = [s.spec for s in jax.tree_util.tree_leaves(
+            tr._state_shardings.opt_state)]
+        assert all(spec == P() for spec in specs)
+
+    def test_column_parallel_rule(self):
+        """TP shards only the output-features (last) axis of >=2-D weights."""
+        m = make_mesh(MeshConfig(model_parallel=2))
+        tree = {"dense": np.zeros((256, 128), np.float32),     # shard last
+                "conv": np.zeros((5, 96, 128), np.float32),    # shard last
+                "bias": np.zeros((8192,), np.float32),         # 1-D: replicate
+                "odd": np.zeros((128, 33), np.float32)}        # indivisible
+        sh = param_sharding_for(tree, m)
+        assert sh["dense"].spec == P(None, "model")
+        assert sh["conv"].spec == P(None, None, "model")
+        assert sh["bias"].spec == P()
+        assert sh["odd"].spec == P()
+
+
 class TestShardedCompute:
     def test_psum_over_mesh(self, mesh):
         """Data-parallel loss mean == global mean when batch is sharded."""
