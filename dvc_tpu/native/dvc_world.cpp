@@ -1,0 +1,743 @@
+// dvc_world — WORLD-style F0 / aperiodicity analysis, native host engine.
+//
+// The reference calls the native pyworld package for harvest F0 and D4C
+// band aperiodicity (preprocessing/WORLD_processing.py:33-35).  pyworld is
+// not a dependency here; this translation unit implements both estimators
+// from their published algorithms:
+//
+//   Harvest: M. Morise, "Harvest: A high-performance fundamental frequency
+//            estimator from speech signals," INTERSPEECH 2017.
+//   D4C:     M. Morise, "D4C, a band-aperiodicity estimator for high-quality
+//            speech synthesis," Speech Communication 84, 2016.
+//
+// Pipeline (Harvest): decimate to ~8 kHz -> 24-channels/octave bandpass
+// filter bank (Nuttall-windowed cosine) -> four event-interval F0 candidate
+// trains per channel (rising/falling zero crossings, peaks, dips) ->
+// candidates where the four agree -> instantaneous-frequency refinement over
+// up to 6 harmonics -> neighbor-consistency pruning -> best-score base
+// contour -> jump removal, short-segment removal, candidate-pool extension
+// -> zero-phase 2nd-order Butterworth smoothing (30 Hz at the 1 kHz internal
+// frame rate) -> resample to the requested frame period.
+//
+// Pipeline (D4C): per voiced frame, static centroid from two Blackman-
+// windowed segments offset +-T0/4 -> smoothed power spectrum (Hanning 4*T0,
+// rectangular smoothing of width F0) -> static group delay (centroid/power,
+// high-passed across frequency by subtracting its F0/2-smoothed version) ->
+// per 3 kHz band: Nuttall-windowed group-delay slice, quefrency power
+// sorted, aperiodicity = power outside the top coefficients -> dB
+// interpolation over the coarse axis to the full spectral grid.
+//
+// NOT implemented (documented deviations from pyworld): D4C's LoveTrain
+// voicing override (voicing comes from Harvest's contour instead) and
+// Harvest's optional multithreading.  Exact WORLD bit-parity requires golden
+// vectors recorded where pyworld exists — see tools/gen_world_golden.py.
+//
+// Build: g++ -O3 -shared -fPIC (no dependencies); bound via ctypes in
+// dvc_tpu/native/world.py.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr double kPi = 3.14159265358979323846;
+constexpr double kEps = 1e-12;
+
+// ---------------------------------------------------------------- FFT ------
+// iterative radix-2 complex FFT (same construction as dvc_dsp.cpp).
+void fft_inplace(double* re, double* im, int n, bool inverse = false) {
+  for (int i = 1, j = 0; i < n; ++i) {
+    int bit = n >> 1;
+    for (; j & bit; bit >>= 1) j ^= bit;
+    j ^= bit;
+    if (i < j) {
+      std::swap(re[i], re[j]);
+      std::swap(im[i], im[j]);
+    }
+  }
+  double sign = inverse ? 2.0 : -2.0;
+  for (int len = 2; len <= n; len <<= 1) {
+    double ang = sign * kPi / len;
+    double wr = std::cos(ang), wi = std::sin(ang);
+    for (int i = 0; i < n; i += len) {
+      double cr = 1.0, ci = 0.0;
+      for (int k = 0; k < len / 2; ++k) {
+        double ur = re[i + k], ui = im[i + k];
+        double vr = re[i + k + len / 2] * cr - im[i + k + len / 2] * ci;
+        double vi = re[i + k + len / 2] * ci + im[i + k + len / 2] * cr;
+        re[i + k] = ur + vr;
+        im[i + k] = ui + vi;
+        re[i + k + len / 2] = ur - vr;
+        im[i + k + len / 2] = ui - vi;
+        double ncr = cr * wr - ci * wi;
+        ci = cr * wi + ci * wr;
+        cr = ncr;
+      }
+    }
+  }
+  if (inverse)
+    for (int i = 0; i < n; ++i) {
+      re[i] /= n;
+      im[i] /= n;
+    }
+}
+
+int next_pow2(long n) {
+  int p = 1;
+  while (p < n) p <<= 1;
+  return p;
+}
+
+double nuttall(double x) {  // x in [0, 1]
+  return 0.355768 - 0.487396 * std::cos(2.0 * kPi * x) +
+         0.144232 * std::cos(4.0 * kPi * x) -
+         0.012604 * std::cos(6.0 * kPi * x);
+}
+
+double blackman(double x) {  // x in [0, 1]
+  return 0.42 - 0.5 * std::cos(2.0 * kPi * x) + 0.08 * std::cos(4.0 * kPi * x);
+}
+
+// ------------------------------------------------------- decimation --------
+// windowed-sinc anti-alias low-pass + integer pick (role of WORLD's
+// decimation to the ~8 kHz analysis rate).
+std::vector<double> decimate(const float* x, long n, int ratio) {
+  if (ratio <= 1) return std::vector<double>(x, x + n);
+  const int half = 32 * ratio;
+  const double cutoff = 0.45 / ratio;
+  std::vector<double> h(2 * half + 1);
+  double sum = 0.0;
+  for (int i = 0; i < 2 * half + 1; ++i) {
+    double t = i - half;
+    double sinc = (t == 0.0) ? 2.0 * cutoff
+                             : std::sin(2.0 * kPi * cutoff * t) / (kPi * t);
+    h[i] = sinc * blackman(static_cast<double>(i) / (2 * half));
+    sum += h[i];
+  }
+  for (double& v : h) v /= sum;
+  long m = n / ratio;
+  std::vector<double> y(m, 0.0);
+  for (long o = 0; o < m; ++o) {
+    long c = o * ratio;
+    double acc = 0.0;
+    long lo = std::max<long>(0, c - half), hi = std::min<long>(n - 1, c + half);
+    for (long i = lo; i <= hi; ++i) acc += x[i] * h[i - (c - half)];
+    y[o] = acc;
+  }
+  return y;
+}
+
+// --------------------------------------------- event-interval F0 trains ----
+struct EventTrack {
+  std::vector<double> t;   // event midpoints (seconds)
+  std::vector<double> f0;  // interval F0 at each midpoint
+};
+
+// interval track from the sign-change positions of `s` (negative-going).
+EventTrack zero_crossings(const std::vector<double>& s, double fs) {
+  EventTrack out;
+  std::vector<double> locs;
+  for (size_t i = 0; i + 1 < s.size(); ++i)
+    if (s[i] > 0.0 && s[i + 1] <= 0.0)
+      locs.push_back((i + s[i] / (s[i] - s[i + 1])) / fs);
+  for (size_t k = 0; k + 1 < locs.size(); ++k) {
+    double iv = locs[k + 1] - locs[k];
+    if (iv <= 0) continue;
+    out.t.push_back(0.5 * (locs[k] + locs[k + 1]));
+    out.f0.push_back(1.0 / iv);
+  }
+  return out;
+}
+
+double interp_track(const EventTrack& tr, double t) {
+  // linear interpolation; 0 outside the covered range or with <2 events
+  if (tr.t.size() < 2 || t < tr.t.front() || t > tr.t.back()) return 0.0;
+  auto it = std::lower_bound(tr.t.begin(), tr.t.end(), t);
+  size_t j = std::max<size_t>(1, it - tr.t.begin());
+  double t0 = tr.t[j - 1], t1 = tr.t[j];
+  double a = (t1 > t0) ? (t - t0) / (t1 - t0) : 0.0;
+  return tr.f0[j - 1] * (1.0 - a) + tr.f0[j] * a;
+}
+
+struct Candidates {
+  int n_frames = 0;
+  int max_c = 0;
+  std::vector<double> f0;     // (n_frames, max_c)
+  std::vector<double> score;  // (n_frames, max_c)
+  double& F(int i, int j) { return f0[static_cast<size_t>(i) * max_c + j]; }
+  double& S(int i, int j) { return score[static_cast<size_t>(i) * max_c + j]; }
+};
+
+// refine one candidate by harmonic-weighted instantaneous frequency
+// (Flanagan's equation on a Blackman-windowed FFT pair).
+void refine_candidate(const std::vector<double>& y, double fs, double tpos,
+                      double f0_floor, double f0_ceil, double* f0c,
+                      double* score) {
+  double f0 = *f0c;
+  if (f0 < f0_floor || f0 > f0_ceil) {
+    *score = 0.0;
+    return;
+  }
+  int half = static_cast<int>(1.5 * fs / f0 + 0.5);
+  int wlen = 2 * half + 1;
+  int fft_size = next_pow2(wlen) * 2;
+  std::vector<double> re_m(fft_size, 0.0), im_m(fft_size, 0.0);
+  std::vector<double> re_d(fft_size, 0.0), im_d(fft_size, 0.0);
+  long c = static_cast<long>(tpos * fs + 0.5);
+  std::vector<double> w(wlen);
+  for (int i = 0; i < wlen; ++i)
+    w[i] = blackman(static_cast<double>(i) / (wlen - 1));
+  auto sample = [&](long i) -> double {
+    return (i >= 0 && i < static_cast<long>(y.size())) ? y[i] : 0.0;
+  };
+  for (int i = 0; i < wlen; ++i) {
+    double v = sample(c - half + i);
+    re_m[i] = v * w[i];
+    // derivative window (central difference of the window)
+    double wm = (i > 0) ? w[i - 1] : 0.0;
+    double wp = (i < wlen - 1) ? w[i + 1] : 0.0;
+    re_d[i] = v * (wp - wm) * 0.5 * fs;  // d/dt in seconds
+  }
+  fft_inplace(re_m.data(), im_m.data(), fft_size);
+  fft_inplace(re_d.data(), im_d.data(), fft_size);
+
+  double freq_res = fs / fft_size;
+  int n_harm = std::min(6, static_cast<int>(fs / 2.0 / f0));
+  if (n_harm < 1) {
+    *score = 0.0;
+    return;
+  }
+  double num = 0.0, den = 0.0, dev = 0.0, wsum = 0.0;
+  std::vector<double> inst(n_harm), amp(n_harm);
+  for (int h = 1; h <= n_harm; ++h) {
+    int k = static_cast<int>(f0 * h / freq_res + 0.5);
+    if (k <= 0 || k >= fft_size / 2) {
+      n_harm = h - 1;
+      break;
+    }
+    double power = re_m[k] * re_m[k] + im_m[k] * im_m[k];
+    double a = std::sqrt(power);
+    // instantaneous frequency (Flanagan / reassignment):
+    //   f_inst = f_k + Im{conj(S_dw) S_w} / (2 pi |S_w|^2)
+    double instf = k * freq_res +
+                   (re_d[k] * im_m[k] - im_d[k] * re_m[k]) /
+                       (2.0 * kPi * std::max(power, kEps));
+    inst[h - 1] = instf;
+    amp[h - 1] = a;
+    num += a * instf;
+    den += a * h;
+  }
+  if (n_harm < 1 || den <= kEps) {
+    *score = 0.0;
+    return;
+  }
+  double refined = num / den;
+  if (refined < f0_floor || refined > f0_ceil) {
+    *score = 0.0;
+    return;
+  }
+  double odd = 0.0;
+  for (int h = 1; h <= n_harm; ++h) {
+    dev += amp[h - 1] * std::fabs(inst[h - 1] / h - refined);
+    wsum += amp[h - 1];
+    if (h % 2 == 1) odd += amp[h - 1];
+  }
+  dev /= std::max(wsum, kEps) * std::max(refined, kEps);  // relative deviation
+  *f0c = refined;
+  *score = 1.0 / (dev + 1e-6);
+  // Subharmonic suppression (robustness addition beyond the paper): a
+  // candidate at f0/2 of the true pitch has all its EVEN harmonics on real
+  // partials and scores as well as the true candidate, but its odd
+  // harmonics sit on noise.  Starved odd-harmonic energy marks it.
+  if (n_harm >= 2) {
+    double odd_frac = odd / std::max(wsum, kEps);
+    *score *= std::min(1.0, odd_frac / 0.2);
+  }
+}
+
+// zero-phase 2nd-order Butterworth low-pass, cutoff fc (normalized to the
+// frame rate), applied forward then backward within one segment.
+void zero_phase_lpf(std::vector<double>& seg, double fc) {
+  if (seg.size() < 5) return;
+  double K = std::tan(kPi * fc);
+  double norm = 1.0 + std::sqrt(2.0) * K + K * K;
+  double b0 = K * K / norm, b1 = 2.0 * b0, b2 = b0;
+  double a1 = 2.0 * (K * K - 1.0) / norm;
+  double a2 = (1.0 - std::sqrt(2.0) * K + K * K) / norm;
+  auto run = [&](std::vector<double>& v) {
+    double x1 = v[0], x2 = v[0];        // edge-pad state
+    double y1 = v[0], y2 = v[0];
+    for (double& x0 : v) {
+      double y0 = b0 * x0 + b1 * x1 + b2 * x2 - a1 * y1 - a2 * y2;
+      x2 = x1;
+      x1 = x0;
+      y2 = y1;
+      y1 = y0;
+      x0 = y0;
+    }
+  };
+  run(seg);
+  std::reverse(seg.begin(), seg.end());
+  run(seg);
+  std::reverse(seg.begin(), seg.end());
+}
+
+}  // namespace
+
+extern "C" {
+
+// Number of 1 ms internal frames for a signal of n samples at fs.
+int dvc_harvest_frames(long n, int fs, double frame_period_ms) {
+  return static_cast<int>(1000.0 * n / fs / frame_period_ms) + 1;
+}
+
+// Harvest F0 estimation.  f0_out must hold dvc_harvest_frames(...) doubles
+// for the requested frame_period.  `stage` selects the pipeline output
+// (0 = base contour, 1 = jump removal, 2 = short-run removal, 3 = extension,
+// 4 = smoothed final — the production value); intermediate stages exist for
+// tests/debugging.  Returns the number of frames, -1 on error.
+int dvc_harvest_stage(const float* x, long n, int fs, double frame_period_ms,
+                      double f0_floor, double f0_ceil, double* f0_out,
+                      int stage) {
+  if (!x || !f0_out || n < 64 || fs <= 0) return -1;
+
+  // --- downsample to the ~8 kHz analysis rate ------------------------------
+  int ratio = std::max(1, fs / 8000);
+  std::vector<double> y = decimate(x, n, ratio);
+  double afs = static_cast<double>(fs) / ratio;
+  double mean = 0.0;
+  for (double v : y) mean += v;
+  mean /= std::max<size_t>(1, y.size());
+  for (double& v : y) v -= mean;
+
+  // --- internal 1 ms candidate grid ----------------------------------------
+  const double cand_period = 0.001;  // seconds
+  int n1 = static_cast<int>(n / static_cast<double>(fs) / cand_period) + 1;
+
+  // --- spectrum of the analysis signal (filtering done in freq domain) -----
+  int margin = static_cast<int>(4.0 * afs / f0_floor) + 1;
+  int fft_size = next_pow2(static_cast<long>(y.size()) + 2L * margin);
+  std::vector<double> yre(fft_size, 0.0), yim(fft_size, 0.0);
+  for (size_t i = 0; i < y.size(); ++i) yre[i] = y[i];
+  fft_inplace(yre.data(), yim.data(), fft_size);
+
+  // --- channels: 24 per octave ---------------------------------------------
+  int n_ch =
+      1 + static_cast<int>(std::log2(f0_ceil / f0_floor) * 24.0);
+  Candidates cand;
+  cand.n_frames = n1;
+  cand.max_c = n_ch;  // worst case one candidate per channel per frame
+  cand.f0.assign(static_cast<size_t>(n1) * n_ch, 0.0);
+  cand.score.assign(static_cast<size_t>(n1) * n_ch, 0.0);
+  std::vector<int> n_cand(n1, 0);
+
+  std::vector<double> fre(fft_size), fim(fft_size), filtered(y.size());
+  for (int ch = 0; ch < n_ch; ++ch) {
+    double bf0 = f0_floor * std::pow(2.0, (ch + 1) / 24.0);
+    if (bf0 > f0_ceil * 1.1) break;
+    // Nuttall-windowed cosine band-pass centered at bf0, 2 periods half-width
+    int half = static_cast<int>(afs / bf0 * 2.0 + 0.5);
+    int flen = 2 * half + 1;
+    if (flen >= fft_size) continue;
+    std::fill(fre.begin(), fre.end(), 0.0);
+    std::fill(fim.begin(), fim.end(), 0.0);
+    for (int i = 0; i < flen; ++i)
+      fre[i] = nuttall(static_cast<double>(i) / (flen - 1)) *
+               std::cos(2.0 * kPi * bf0 * (i - half) / afs);
+    fft_inplace(fre.data(), fim.data(), fft_size);
+    // multiply spectra, inverse transform, compensate the filter delay
+    for (int k = 0; k < fft_size; ++k) {
+      double rr = yre[k] * fre[k] - yim[k] * fim[k];
+      double ii = yre[k] * fim[k] + yim[k] * fre[k];
+      fre[k] = rr;
+      fim[k] = ii;
+    }
+    fft_inplace(fre.data(), fim.data(), fft_size, /*inverse=*/true);
+    for (size_t i = 0; i < y.size(); ++i) {
+      size_t j = i + half;
+      filtered[i] = (j < static_cast<size_t>(fft_size)) ? fre[j] : 0.0;
+    }
+
+    // four event trains: falling/rising zero crossings, peaks, dips
+    std::vector<double> neg(filtered);
+    std::vector<double> diff(filtered.size(), 0.0);
+    for (size_t i = 0; i + 1 < filtered.size(); ++i)
+      diff[i] = filtered[i + 1] - filtered[i];
+    std::vector<double> ndiff(diff);
+    for (double& v : neg) v = -v;
+    for (double& v : ndiff) v = -v;
+    EventTrack tr[4] = {zero_crossings(filtered, afs),
+                        zero_crossings(neg, afs), zero_crossings(diff, afs),
+                        zero_crossings(ndiff, afs)};
+
+    for (int i = 0; i < n1; ++i) {
+      double t = i * cand_period;
+      double v[4], s = 0.0;
+      bool ok = true;
+      for (int e = 0; e < 4; ++e) {
+        v[e] = interp_track(tr[e], t);
+        if (v[e] <= 0.0) {
+          ok = false;
+          break;
+        }
+        s += v[e];
+      }
+      if (!ok) continue;
+      double m = s / 4.0;
+      double dev = 0.0;
+      for (int e = 0; e < 4; ++e) dev += (v[e] - m) * (v[e] - m);
+      dev = std::sqrt(dev / 3.0) / m;
+      if (dev > 0.2) continue;                        // four must agree
+      if (m < bf0 * 0.5 || m > bf0 * 2.0) continue;   // in-channel band
+      if (m < f0_floor || m > f0_ceil) continue;
+      // pre-refinement dedup: ~24 channels/octave means the true pitch is
+      // found by several adjacent channels — refining each copy would
+      // multiply the FFT cost for no information
+      bool dup = false;
+      for (int j = 0; j < n_cand[i] && !dup; ++j)
+        dup = std::fabs(cand.F(i, j) - m) < 0.03 * m;
+      if (dup) continue;
+      if (n_cand[i] < cand.max_c) {
+        cand.F(i, n_cand[i]) = m;
+        cand.S(i, n_cand[i]) = 1.0;  // refined below
+        n_cand[i]++;
+      }
+    }
+  }
+
+  // --- refinement + dedup ---------------------------------------------------
+  for (int i = 0; i < n1; ++i) {
+    double t = i * cand_period;
+    for (int j = 0; j < n_cand[i]; ++j) {
+      double f0c = cand.F(i, j), sc = 0.0;
+      refine_candidate(y, afs, t, f0_floor, f0_ceil, &f0c, &sc);
+      cand.F(i, j) = (sc > 0.0) ? f0c : 0.0;
+      cand.S(i, j) = sc;
+    }
+    // merge near-duplicates (refined to the same pitch): keep best score
+    for (int j = 0; j < n_cand[i]; ++j) {
+      if (cand.F(i, j) <= 0.0) continue;
+      for (int k = j + 1; k < n_cand[i]; ++k) {
+        if (cand.F(i, k) <= 0.0) continue;
+        if (std::fabs(cand.F(i, j) - cand.F(i, k)) <
+            0.03 * cand.F(i, j)) {
+          if (cand.S(i, k) > cand.S(i, j)) {
+            cand.F(i, j) = cand.F(i, k);
+            cand.S(i, j) = cand.S(i, k);
+          }
+          cand.F(i, k) = 0.0;
+          cand.S(i, k) = 0.0;
+        }
+      }
+    }
+  }
+
+  // --- neighbor-consistency pruning ----------------------------------------
+  std::vector<double> pruned_score(cand.score);
+  auto closest_ratio = [&](int frame, double f) -> double {
+    double best = 1e30;
+    if (frame < 0 || frame >= n1) return best;
+    for (int j = 0; j < n_cand[frame]; ++j) {
+      double c = cand.F(frame, j);
+      if (c <= 0.0) continue;
+      best = std::min(best, std::fabs(c - f) / f);
+    }
+    return best;
+  };
+  for (int i = 0; i < n1; ++i)
+    for (int j = 0; j < n_cand[i]; ++j) {
+      double f = cand.F(i, j);
+      if (f <= 0.0) continue;
+      if (closest_ratio(i - 1, f) > 0.05 || closest_ratio(i + 1, f) > 0.05)
+        pruned_score[static_cast<size_t>(i) * cand.max_c + j] = 0.0;
+    }
+  cand.score.swap(pruned_score);
+
+  // --- base contour: best score per frame ----------------------------------
+  std::vector<double> f0(n1, 0.0);
+  for (int i = 0; i < n1; ++i) {
+    double best = 0.0, bf = 0.0;
+    for (int j = 0; j < n_cand[i]; ++j)
+      if (cand.S(i, j) > best) {
+        best = cand.S(i, j);
+        bf = cand.F(i, j);
+      }
+    f0[i] = bf;
+  }
+
+  // --- Step 1: remove impossible jumps (>0.8% per ms) ----------------------
+  const double allowed = 0.008;
+  std::vector<double> step1(f0);
+  for (int i = 1; i < n1; ++i)
+    if (f0[i] > 0.0 && f0[i - 1] > 0.0 &&
+        std::fabs(f0[i] - f0[i - 1]) / f0[i] > allowed)
+      step1[i] = 0.0;
+
+  // --- Step 2: drop voiced runs shorter than 9 ms ---------------------------
+  const int min_run = 9;
+  std::vector<double> step2(step1);
+  {
+    int run_start = -1;
+    for (int i = 0; i <= n1; ++i) {
+      bool v = (i < n1) && step1[i] > 0.0;
+      if (v && run_start < 0) run_start = i;
+      if (!v && run_start >= 0) {
+        if (i - run_start < min_run)
+          for (int k = run_start; k < i; ++k) step2[k] = 0.0;
+        run_start = -1;
+      }
+    }
+  }
+
+  // --- Steps 3/4: extend voiced sections through the candidate pool --------
+  auto best_match = [&](int frame, double ref) -> double {
+    if (frame < 0 || frame >= n1) return 0.0;
+    double best_sc = 0.0, best_f = 0.0;
+    for (int j = 0; j < n_cand[frame]; ++j) {
+      double c = cand.F(frame, j);
+      if (c <= 0.0) continue;
+      if (std::fabs(c - ref) / ref > 0.09) continue;
+      // prefer the closest candidate among acceptable ones
+      double sc = 1.0 / (kEps + std::fabs(c - ref));
+      if (sc > best_sc) {
+        best_sc = sc;
+        best_f = c;
+      }
+    }
+    return best_f;
+  };
+  std::vector<double> fixed(step2);
+  // forward extension from every voiced->unvoiced boundary
+  for (int i = 1; i < n1; ++i) {
+    if (!(fixed[i - 1] > 0.0 && fixed[i] == 0.0)) continue;
+    double ref = fixed[i - 1];
+    for (int k = i; k < std::min(n1, i + 100); ++k) {
+      if (fixed[k] > 0.0) break;  // met the next section
+      double m = best_match(k, ref);
+      if (m <= 0.0) break;
+      fixed[k] = m;
+      ref = m;
+    }
+  }
+  // backward extension
+  for (int i = n1 - 2; i >= 0; --i) {
+    if (!(fixed[i + 1] > 0.0 && fixed[i] == 0.0)) continue;
+    double ref = fixed[i + 1];
+    for (int k = i; k > std::max(-1, i - 100); --k) {
+      if (fixed[k] > 0.0) break;
+      double m = best_match(k, ref);
+      if (m <= 0.0) break;
+      fixed[k] = m;
+      ref = m;
+    }
+  }
+
+  // --- smoothing: zero-phase Butterworth (30 Hz) per voiced segment --------
+  std::vector<double> extended(fixed);
+  {
+    int run_start = -1;
+    for (int i = 0; i <= n1; ++i) {
+      bool v = (i < n1) && fixed[i] > 0.0;
+      if (v && run_start < 0) run_start = i;
+      if (!v && run_start >= 0) {
+        std::vector<double> seg(fixed.begin() + run_start, fixed.begin() + i);
+        zero_phase_lpf(seg, 0.03);
+        for (int k = run_start; k < i; ++k) fixed[k] = seg[k - run_start];
+        run_start = -1;
+      }
+    }
+  }
+
+  // --- resample the 1 ms track to the requested frame period ---------------
+  const std::vector<double>* stages[5] = {&f0, &step1, &step2, &extended,
+                                          &fixed};
+  const std::vector<double>& track =
+      *stages[std::min(std::max(stage, 0), 4)];
+  int n_out = dvc_harvest_frames(n, fs, frame_period_ms);
+  for (int i = 0; i < n_out; ++i) {
+    double t = i * frame_period_ms / 1000.0;
+    int k = std::min(n1 - 1, static_cast<int>(t / cand_period + 0.5));
+    double v = track[k];
+    f0_out[i] = (v >= f0_floor && v <= f0_ceil) ? v : 0.0;
+  }
+  return n_out;
+}
+
+int dvc_harvest(const float* x, long n, int fs, double frame_period_ms,
+                double f0_floor, double f0_ceil, double* f0_out) {
+  return dvc_harvest_stage(x, n, fs, frame_period_ms, f0_floor, f0_ceil,
+                           f0_out, 4);
+}
+
+// D4C band aperiodicity.  ap_out must hold n_frames * (fft_size_out/2 + 1)
+// doubles ((frame, bin) row-major, like pyworld.d4c's output grid).
+// Returns 0, -1 on error.
+int dvc_d4c(const float* x, long n, int fs, const double* f0, int n_frames,
+            double frame_period_ms, int fft_size_out, double* ap_out) {
+  if (!x || !f0 || !ap_out || n <= 0 || n_frames <= 0) return -1;
+  const double floor_f0 = 47.0;
+  const double freq_interval = 3000.0;
+  const int fft_d4c =
+      1 << (1 + static_cast<int>(
+                    std::ceil(std::log2(4.0 * fs / floor_f0 + 1.0))));
+  const int n_freq_d4c = fft_d4c / 2 + 1;
+  int n_bands = static_cast<int>(
+      std::min(15000.0, fs / 2.0 - freq_interval) / freq_interval);
+  n_bands = std::max(1, n_bands);
+  const int n_out = fft_size_out / 2 + 1;
+
+  // frequency-domain Nuttall window for the per-band group-delay slice
+  const int seg_half = static_cast<int>(freq_interval * fft_d4c / fs);
+  const int seg_len = 2 * seg_half + 1;
+  std::vector<double> seg_win(seg_len);
+  for (int i = 0; i < seg_len; ++i)
+    seg_win[i] = nuttall(static_cast<double>(i) / (seg_len - 1));
+  const int boundary =
+      static_cast<int>(fft_d4c * 8.0 / seg_len + 0.5);  // main-lobe width
+
+  std::vector<double> re(fft_d4c), im(fft_d4c);
+  std::vector<double> centroid(n_freq_d4c), power(n_freq_d4c),
+      gd(n_freq_d4c), gd_smooth(n_freq_d4c);
+  std::vector<double> coarse_db(n_bands);
+
+  auto sample = [&](long i) -> double {
+    return (i >= 0 && i < n) ? x[i] : 0.0;
+  };
+
+  // rectangular smoothing across frequency (width w_hz), cumsum-based
+  auto linear_smooth = [&](const std::vector<double>& in,
+                           std::vector<double>& out, double w_hz) {
+    int nf = static_cast<int>(in.size());
+    double res = static_cast<double>(fs) / fft_d4c;
+    double w_bins = std::max(1.0, w_hz / res);
+    std::vector<double> cs(nf + 1, 0.0);
+    for (int i = 0; i < nf; ++i) cs[i + 1] = cs[i] + in[i];
+    auto at = [&](double p) {
+      p = std::min(std::max(p, 0.0), static_cast<double>(nf));
+      int i0 = static_cast<int>(p);
+      double fr = p - i0;
+      double c0 = cs[i0];
+      double c1 = cs[std::min(i0 + 1, nf)];
+      return c0 * (1.0 - fr) + c1 * fr;
+    };
+    for (int i = 0; i < nf; ++i) {
+      double lo = i - w_bins / 2.0, hi = i + w_bins / 2.0;
+      out[i] = (at(hi) - at(lo)) / std::max(hi - lo, 1e-9);
+    }
+  };
+
+  for (int fr = 0; fr < n_frames; ++fr) {
+    double* row = ap_out + static_cast<size_t>(fr) * n_out;
+    double cf0 = f0[fr];
+    if (cf0 <= 0.0 || cf0 < floor_f0) {
+      for (int k = 0; k < n_out; ++k) row[k] = 1.0 - 1e-12;
+      continue;
+    }
+    double tpos = fr * frame_period_ms / 1000.0;
+    double t0s = fs / cf0;  // period in samples
+
+    // ---- static centroid: Blackman 4*T0 windows at +-T0/4 -----------------
+    std::fill(centroid.begin(), centroid.end(), 0.0);
+    for (int off = -1; off <= 1; off += 2) {
+      long c = static_cast<long>(tpos * fs + off * t0s / 4.0 + 0.5);
+      int half = static_cast<int>(2.0 * t0s + 0.5);
+      int wlen = 2 * half + 1;
+      if (wlen >= fft_d4c) return -1;
+      std::vector<double> wave(wlen);
+      double pw = 0.0;
+      for (int i = 0; i < wlen; ++i) {
+        double w = blackman(static_cast<double>(i) / (wlen - 1));
+        wave[i] = sample(c - half + i) * w;
+        pw += wave[i] * wave[i];
+      }
+      double norm = 1.0 / std::sqrt(std::max(pw, kEps));
+      std::fill(re.begin(), re.end(), 0.0);
+      std::fill(im.begin(), im.end(), 0.0);
+      for (int i = 0; i < wlen; ++i) re[i] = wave[i] * norm;
+      std::vector<double> re_t(fft_d4c, 0.0), im_t(fft_d4c, 0.0);
+      for (int i = 0; i < wlen; ++i)
+        re_t[i] = re[i] * (i + 1.0) / fs;  // time-weighted (seconds)
+      fft_inplace(re.data(), im.data(), fft_d4c);
+      fft_inplace(re_t.data(), im_t.data(), fft_d4c);
+      for (int k = 0; k < n_freq_d4c; ++k)
+        centroid[k] += re[k] * re_t[k] + im[k] * im_t[k];  // Re{S* St}
+    }
+
+    // ---- smoothed power spectrum: Hanning 4*T0, width-F0 smoothing --------
+    {
+      long c = static_cast<long>(tpos * fs + 0.5);
+      int half = static_cast<int>(2.0 * t0s + 0.5);
+      int wlen = 2 * half + 1;
+      std::fill(re.begin(), re.end(), 0.0);
+      std::fill(im.begin(), im.end(), 0.0);
+      for (int i = 0; i < wlen; ++i) {
+        double w = 0.5 - 0.5 * std::cos(2.0 * kPi * i / (wlen - 1.0));
+        re[i] = sample(c - half + i) * w;
+      }
+      fft_inplace(re.data(), im.data(), fft_d4c);
+      for (int k = 0; k < n_freq_d4c; ++k)
+        power[k] = re[k] * re[k] + im[k] * im[k];
+      std::vector<double> sm(n_freq_d4c);
+      linear_smooth(power, sm, cf0);
+      power.swap(sm);
+    }
+
+    // ---- static group delay, high-passed across frequency -----------------
+    for (int k = 0; k < n_freq_d4c; ++k)
+      gd[k] = centroid[k] / std::max(power[k], kEps);
+    linear_smooth(gd, gd_smooth, cf0 / 2.0);
+    for (int k = 0; k < n_freq_d4c; ++k) gd[k] -= gd_smooth[k];
+
+    // ---- coarse aperiodicity per 3 kHz band --------------------------------
+    for (int b = 0; b < n_bands; ++b) {
+      int center =
+          static_cast<int>(freq_interval * (b + 1) * fft_d4c / fs + 0.5);
+      std::fill(re.begin(), re.end(), 0.0);
+      std::fill(im.begin(), im.end(), 0.0);
+      for (int i = 0; i < seg_len; ++i) {
+        int k = center - seg_half + i;
+        double v = (k >= 0 && k < n_freq_d4c) ? gd[k] : 0.0;
+        re[i] = v * seg_win[i];
+      }
+      fft_inplace(re.data(), im.data(), fft_d4c);
+      std::vector<double> p(n_freq_d4c);
+      for (int k = 0; k < n_freq_d4c; ++k)
+        p[k] = re[k] * re[k] + im[k] * im[k];
+      std::sort(p.begin(), p.end());
+      for (int k = 1; k < n_freq_d4c; ++k) p[k] += p[k - 1];
+      double total = std::max(p[n_freq_d4c - 1], kEps);
+      int cut = std::max(0, n_freq_d4c - 1 - boundary);
+      double apw = p[cut] / total;  // power outside the coherent main lobe
+      coarse_db[b] =
+          std::min(0.0, std::max(-60.0, 10.0 * std::log10(std::max(apw, 1e-12))));
+    }
+
+    // ---- interpolate the coarse dB axis onto the output grid --------------
+    // anchors: (0 Hz, -60 dB), (3k..3k*n_bands, measured), (fs/2, ~0 dB)
+    std::vector<double> ax(n_bands + 2), av(n_bands + 2);
+    ax[0] = 0.0;
+    av[0] = -60.0;
+    for (int b = 0; b < n_bands; ++b) {
+      ax[b + 1] = freq_interval * (b + 1);
+      av[b + 1] = coarse_db[b];
+    }
+    ax[n_bands + 1] = fs / 2.0;
+    av[n_bands + 1] = -1e-12;
+    int seg = 0;
+    for (int k = 0; k < n_out; ++k) {
+      double f = static_cast<double>(k) * fs / fft_size_out;
+      while (seg + 2 < static_cast<int>(ax.size()) && f > ax[seg + 1]) ++seg;
+      double a = (f - ax[seg]) / std::max(ax[seg + 1] - ax[seg], kEps);
+      a = std::min(std::max(a, 0.0), 1.0);
+      double db = av[seg] * (1.0 - a) + av[seg + 1] * a;
+      row[k] = std::min(1.0 - 1e-12,
+                        std::max(0.001, std::pow(10.0, db / 20.0)));
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

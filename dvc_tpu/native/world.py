@@ -1,0 +1,105 @@
+"""ctypes bindings for the native WORLD-analysis engine (dvc_world.cpp).
+
+harvest() / d4c() are the algorithm-faithful equivalents of pyworld.harvest
+and pyworld.d4c (reference preprocessing/WORLD_processing.py:33-35),
+implemented from the published Morise papers.  Auto-builds
+`libdvc_world.so` with g++ on first use; `available()` reports whether the
+native path is active (ops/world.py falls back to the batched JAX NCCF
+tracker otherwise).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libdvc_world.so")
+_lib = None
+
+
+def _build() -> bool:
+    src = os.path.join(_DIR, "dvc_world.cpp")
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
+             "-o", _SO, src],
+            check=True, capture_output=True, timeout=240)
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.dvc_harvest_frames.restype = ctypes.c_int
+    lib.dvc_harvest_frames.argtypes = [ctypes.c_long, ctypes.c_int,
+                                       ctypes.c_double]
+    lib.dvc_harvest.restype = ctypes.c_int
+    lib.dvc_harvest.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_int,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_double)]
+    lib.dvc_d4c.restype = ctypes.c_int
+    lib.dvc_d4c.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_double,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_double)]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def harvest(wav: np.ndarray, fs: int, frame_period: float = 5.0,
+            f0_floor: float = 71.0, f0_ceil: float = 800.0
+            ) -> tuple[np.ndarray, np.ndarray]:
+    """(T,) waveform -> (f0, timeaxis), both (N,) float64 at frame_period ms
+    (pyworld.harvest contract: f0 == 0 for unvoiced frames)."""
+    lib = _load()
+    assert lib is not None, "native WORLD library unavailable"
+    wav = np.ascontiguousarray(wav, np.float32)
+    n_out = lib.dvc_harvest_frames(len(wav), fs, frame_period)
+    f0 = np.zeros(n_out, np.float64)
+    got = lib.dvc_harvest(
+        wav.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(wav), fs,
+        frame_period, f0_floor, f0_ceil,
+        f0.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    assert got == n_out, f"native harvest failed ({got})"
+    timeaxis = np.arange(n_out, dtype=np.float64) * frame_period / 1000.0
+    return f0, timeaxis
+
+
+def d4c(wav: np.ndarray, f0: np.ndarray, fs: int, frame_period: float = 5.0,
+        fft_size: int | None = None) -> np.ndarray:
+    """Band aperiodicity (N, fft_size//2+1) on the CheapTrick spectral grid
+    (pyworld.d4c contract; D4C's LoveTrain voicing override is not applied —
+    voicing comes from the f0 contour)."""
+    lib = _load()
+    assert lib is not None, "native WORLD library unavailable"
+    if fft_size is None:
+        fft_size = int(2 ** np.ceil(np.log2(3.0 * fs / 71.0 + 1)))
+    wav = np.ascontiguousarray(wav, np.float32)
+    f0 = np.ascontiguousarray(f0, np.float64)
+    n_frames = len(f0)
+    out = np.zeros((n_frames, fft_size // 2 + 1), np.float64)
+    got = lib.dvc_d4c(
+        wav.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(wav), fs,
+        f0.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n_frames,
+        frame_period, fft_size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    assert got == 0, f"native d4c failed ({got})"
+    return out

@@ -6,17 +6,24 @@ envelope + d4c aperiodicity; sp2mc/mc2sp via pysptk:36-37,55-56).  Neither is
 a dependency here; this module reimplements the chain from the defining
 algorithms, designed for batched on-device execution:
 
-  * estimate_f0      — normalized-autocorrelation F0 tracker (the role of
-                       `harvest`, WORLD_processing.py:33; same frame period /
-                       floor / ceil contract; algorithmic internals differ —
-                       harvest's multi-band filtering is replaced by NCCF peak
-                       picking with median smoothing, which tracks clean
-                       speech equivalently);
+  * F0: the production path is the native Harvest implementation
+                       (native/dvc_world.cpp — algorithm-faithful to Morise
+                       2017, the same algorithm pyworld.harvest runs at
+                       WORLD_processing.py:33), used by world_decompose when
+                       the C++ engine is available;
+  * estimate_f0      — batched on-device fallback: normalized-
+                       autocorrelation F0 tracker (same frame period / floor /
+                       ceil contract; NCCF peak picking with median smoothing
+                       instead of harvest's filter bank);
   * spectral_envelope — CheapTrick (Morise 2015): f0-adaptive 3*T0 windowing,
                        frequency-domain rectangular smoothing of width 2/3 f0,
                        and q1-liftering — faithful to the published algorithm;
-  * aperiodicity     — band aperiodicity from normalized harmonic correlation
-                       (the role of d4c; coarse-band approximation);
+  * AP: the production path is the native D4C implementation
+                       (native/dvc_world.cpp — group-delay band aperiodicity
+                       per Morise 2016, the algorithm behind pyworld.d4c at
+                       WORLD_processing.py:35);
+  * aperiodicity     — on-device fallback: band aperiodicity from normalized
+                       harmonic correlation (coarse approximation);
   * synthesize       — pulse+noise excitation shaped by the minimum-phase
                        envelope response, overlap-add (role of
                        pyworld.synthesize, WORLD_processing.py:99-106);
@@ -379,25 +386,66 @@ def _analysis_chain(wav: jax.Array, fs: int, frame_period: float, num_mcep: int)
     return f0, timeaxis, sp, ap, mc
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _envelope_mcep_chain(wav: jax.Array, f0: jax.Array, fs: int,
+                         frame_period: float, num_mcep: int):
+    """CheapTrick + mel-cepstrum for an externally supplied F0 contour
+    (the native-Harvest path keeps the heavy spectral work on device)."""
+    sp = spectral_envelope(wav, f0, fs, frame_period)
+    mc = sp2mc(sp, order=num_mcep - 1, alpha=mcepalpha(fs))
+    return sp, mc
+
+
 def world_decompose(wav: np.ndarray, fs: int, frame_period: float = 5.0,
-                    num_mcep: int = 36, pad_to: int = 8000):
+                    num_mcep: int = 36, pad_to: int = 8000,
+                    use_native: bool | None = None):
     """Reference world_decompose (WORLD_processing.py:29-39):
     returns (f0, timeaxis, sp, ap, mc).
 
-    The whole chain is ONE jitted program; wavs are zero-padded to `pad_to`
-    buckets so arbitrary utterance lengths reuse a handful of compiled
-    shapes (a per-file recompile would dominate on TPU), and frame outputs
-    are cropped back to the true len(wav)//hop + 1 frames.
+    Production path (use_native=None/True, taken whenever the C++ engine
+    builds): Harvest F0 + D4C aperiodicity from native/dvc_world.cpp — the
+    same algorithms the reference gets from pyworld — with CheapTrick and
+    the mcep transform as ONE jitted device program.  Fallback (the all-JAX
+    chain) replaces Harvest/D4C with NCCF / correlation approximations.
+
+    Wavs are zero-padded to `pad_to` buckets so arbitrary utterance lengths
+    reuse a handful of compiled shapes (a per-file recompile would dominate
+    on TPU); frame outputs are cropped back to len(wav)//hop + 1 frames.
     """
+    from dvc_tpu.native import world as native_world
+
+    if use_native is None:
+        use_native = native_world.available()
     hop = int(fs * frame_period / 1000.0)
     n_true = len(wav) // hop + 1
+    wav = np.asarray(wav, np.float32)
+
+    if not use_native:
+        padded = wav
+        if pad_to:
+            bucket = int(np.ceil((len(wav) + 1) / pad_to)) * pad_to
+            padded = np.pad(wav, (0, bucket - len(wav)))
+        f0, timeaxis, sp, ap, mc = _analysis_chain(
+            jnp.asarray(padded, jnp.float32), fs, frame_period, num_mcep)
+        return (np.asarray(f0)[:n_true], np.asarray(timeaxis)[:n_true],
+                np.asarray(sp)[:n_true], np.asarray(ap)[:n_true],
+                np.asarray(mc)[:n_true])
+
+    f0, timeaxis = native_world.harvest(wav, fs, frame_period)
+    f0 = f0[:n_true]
+    padded, f0_padded = wav, f0
     if pad_to:
         bucket = int(np.ceil((len(wav) + 1) / pad_to)) * pad_to
-        wav = np.pad(np.asarray(wav), (0, bucket - len(wav)))
-    f0, timeaxis, sp, ap, mc = _analysis_chain(
-        jnp.asarray(wav, jnp.float32), fs, frame_period, num_mcep)
-    return (np.asarray(f0)[:n_true], np.asarray(timeaxis)[:n_true],
-            np.asarray(sp)[:n_true], np.asarray(ap)[:n_true],
+        padded = np.pad(wav, (0, bucket - len(wav)))
+        n_pad_frames = bucket // hop + 1
+        f0_padded = np.pad(f0, (0, n_pad_frames - len(f0)))
+    sp, mc = _envelope_mcep_chain(
+        jnp.asarray(padded, jnp.float32),
+        jnp.asarray(f0_padded, jnp.float32), fs, frame_period, num_mcep)
+    ap = native_world.d4c(wav, f0, fs, frame_period,
+                          fft_size=2 * (sp.shape[-1] - 1))
+    return (np.asarray(f0, np.float32), np.asarray(timeaxis[:n_true], np.float32),
+            np.asarray(sp)[:n_true], np.asarray(ap, np.float32)[:n_true],
             np.asarray(mc)[:n_true])
 
 
