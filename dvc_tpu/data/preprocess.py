@@ -31,16 +31,30 @@ from dvc_tpu.config import AudioConfig
 from dvc_tpu.ops.audio import normalize_volume, trim_long_silences
 from dvc_tpu.ops.mel import melspectrogram
 from dvc_tpu.ops.stft import num_frames
-from dvc_tpu.utils.wavio import read_wav
+from dvc_tpu.utils.wavio import read_audio
 
-# VCTK layout used by the reference (preprocess.py:156, speaker names like
-# "VCTK-Corpus_wav16_p225" in training.sh)
-DATASET_SUBDIRS = {
-    "VCTK": "VCTK-Corpus/wav16",
-    "VIVOS": "VIVOS/wav16",
-    "VCC2020": "vcc2020_dataset/target_task1",
-    "zalo": "zalo_dataset",
+# Dataset layouts used by the reference (preprocessing/encoder/preprocess.py:
+# 141-291): (subdir under datasets_root, audio extension).  Speaker names
+# come out like "VCTK-Corpus_wav16_p225" (training.sh).
+DATASETS = {
+    "VCTK": ("VCTK-Corpus/wav16", "wav"),
+    "VIVOS": ("VIVOS/wav16", "wav"),
+    "VCC2020": ("vcc2020_dataset/target_task1", "wav"),
+    "zalo": ("zalo_dataset", "wav"),
+    # reference preprocess_librispeech (:141-151): train-other-500, flac
+    "librispeech_other": ("LibriSpeech/train-other-500", "flac"),
+    # reference preprocess_voxceleb1 (:236-263): wav/ subdir + anglophone
+    # filter from vox1_meta.csv when present
+    "voxceleb1": ("VoxCeleb1/wav", "wav"),
+    # reference preprocess_voxceleb2 (:266-276): m4a — needs external decode
+    "voxceleb2": ("VoxCeleb2/dev/aac", "m4a"),
 }
+
+# backwards-compatible name → subdir view (round-1 public surface)
+DATASET_SUBDIRS = {k: v[0] for k, v in DATASETS.items()}
+
+# reference preprocessing/encoder/config.py:45
+ANGLOPHONE_NATIONALITIES = ["australia", "canada", "ireland", "uk", "usa"]
 
 
 @dataclass
@@ -107,9 +121,9 @@ class BatchedMelExtractor:
 
 def preprocess_wav_host(path: str, cfg: AudioConfig = AudioConfig(),
                         trim: bool = False) -> np.ndarray:
-    """Load + resample + volume-normalize (+ optional VAD trim) one wav
-    (reference preprocessing/encoder/audio.py:22-51)."""
-    wav, sr = read_wav(path)
+    """Load + resample + volume-normalize (+ optional VAD trim) one audio
+    file — wav or flac (reference preprocessing/encoder/audio.py:22-51)."""
+    wav, sr = read_audio(path)
     if sr != cfg.sample_rate:
         from dvc_tpu.ops.audio import resample_poly
         wav = np.asarray(resample_poly(jnp.asarray(wav), sr, cfg.sample_rate))
@@ -174,13 +188,27 @@ def preprocess_speaker(speaker_dir: str, out_dir: str, extractor: BatchedMelExtr
     return stats
 
 
+def _voxceleb1_speaker_filter(dataset_root: str) -> set[str] | None:
+    """Anglophone speaker-ID set from vox1_meta.csv, if present (reference
+    preprocess_voxceleb1, preprocessing/encoder/preprocess.py:236-257)."""
+    meta = os.path.join(os.path.dirname(dataset_root), "vox1_meta.csv")
+    if not os.path.exists(meta):
+        return None
+    with open(meta) as f:
+        rows = [line.rstrip("\n").split("\t") for line in f][1:]
+    return {r[0] for r in rows
+            if len(r) > 3 and r[3].strip().lower() in ANGLOPHONE_NATIONALITIES}
+
+
 def preprocess_dataset(datasets_root: str, out_dir: str, dataset: str = "VCTK",
                        cfg: AudioConfig = AudioConfig(), skip_existing: bool = False,
                        trim: bool = False, batch_size: int = 16,
                        speakers: list[str] | None = None) -> PreprocessStats:
     """Dataset-level driver (reference dataset_preprocess.py:61-73 +
-    preprocess_VCTK preprocess.py:153-170)."""
-    sub = DATASET_SUBDIRS.get(dataset, dataset)
+    the per-dataset preprocess_* drivers, encoder/preprocess.py:141-291:
+    VCTK/VIVOS/VCC2020/zalo wavs, LibriSpeech train-other-500 flac,
+    VoxCeleb1 wavs with the anglophone metadata filter)."""
+    sub, extension = DATASETS.get(dataset, (dataset, "wav"))
     dataset_root = os.path.join(datasets_root, sub)
     if not os.path.isdir(dataset_root):
         # allow pointing straight at a directory of speaker dirs
@@ -192,10 +220,16 @@ def preprocess_dataset(datasets_root: str, out_dir: str, dataset: str = "VCTK",
     if speakers is not None:
         speaker_dirs = [d for d in speaker_dirs
                         if os.path.basename(d) in set(speakers)]
+    elif dataset == "voxceleb1":
+        keep = _voxceleb1_speaker_filter(dataset_root)
+        if keep is not None:
+            speaker_dirs = [d for d in speaker_dirs
+                            if os.path.basename(d) in keep]
     extractor = BatchedMelExtractor(cfg, batch_size)
     total = PreprocessStats()
     for sd in speaker_dirs:
         s = preprocess_speaker(sd, out_dir, extractor, cfg,
+                               extension=extension,
                                skip_existing=skip_existing, trim=trim)
         total.n_files += s.n_files
         total.n_skipped += s.n_skipped

@@ -1,6 +1,8 @@
-"""Dependency-free WAV file IO (the reference leans on librosa/soundfile,
+"""Dependency-free audio file IO (the reference leans on librosa/soundfile,
 neither of which is a dependency here).  Handles PCM16/24/32 and float32 RIFF
-wavs — enough for VCTK — via numpy + the stdlib `wave`/struct machinery."""
+wavs via numpy + stdlib struct; FLAC (LibriSpeech) decodes through the native
+C++ engine (native/dvc_flac.cpp) — use `read_audio` for the
+extension-dispatched entry point."""
 
 from __future__ import annotations
 
@@ -49,6 +51,21 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
     if channels > 1:
         wav = wav.reshape(-1, channels).mean(axis=1)
     return wav, sample_rate
+
+
+def read_audio(path: str) -> tuple[np.ndarray, int]:
+    """Extension-dispatched read: .flac via the native decoder, .wav (and
+    anything else RIFF) via read_wav.  .m4a/AAC is not decodable in-repo
+    (the reference needs ffmpeg-backed librosa for VoxCeleb2 too)."""
+    lower = path.lower()
+    if lower.endswith(".flac"):
+        from dvc_tpu.native.flac import read_flac
+        return read_flac(path)
+    if lower.endswith(".m4a"):
+        raise NotImplementedError(
+            f"{path}: m4a/AAC needs an external decoder (ffmpeg); convert "
+            "VoxCeleb2 audio to wav/flac first")
+    return read_wav(path)
 
 
 def write_wav(path: str, wav: np.ndarray, sample_rate: int = 16_000) -> None:
