@@ -129,6 +129,8 @@ def cmd_train_speaker(args) -> int:
     from dvc_tpu.data.speaker_dataset import SpeakerVerificationSampler
     from dvc_tpu.train.speaker_trainer import SpeakerEncoderTrainer
 
+    from dvc_tpu.utils.visualizations import Visualizations
+
     cfg = SpeakerEncoderConfig(
         speakers_per_batch=args.speakers_per_batch,
         utterances_per_speaker=args.utterances_per_speaker,
@@ -140,20 +142,14 @@ def cmd_train_speaker(args) -> int:
                                     models_dir=args.models_dir)
     if not args.no_resume and trainer.resume():
         print(f"resumed {args.run_id} at step {int(trainer.state.step)}")
-    hist = trainer.train(sampler, args.n_steps, save_every=args.save_every,
-                         backup_every=args.backup_every)
-    if hist and args.umap_every:
-        import jax.numpy as jnp
-        import numpy as np
-        from dvc_tpu.utils.plotting import projection_plot
-        batch = sampler.next_batch()
-        s, u = batch.shape[:2]
-        flat = batch.reshape(-1, batch.shape[-2], batch.shape[-1])
-        embeds = trainer.model.apply({"params": trainer.state.params},
-                                     jnp.asarray(flat))
-        labels = np.repeat(np.arange(s), u)
-        projection_plot(np.asarray(embeds), labels,
-                        os.path.join(args.models_dir, f"{args.run_id}_proj.png"))
+    # live loss/EER/step-time curves + periodic embedding projections
+    # (reference encoder/train.py:56-111 visdom/UMAP loop)
+    vis = Visualizations(args.run_id, os.path.join(args.models_dir, "viz"))
+    vis.log_params(cfg)
+    vis.log_dataset(args.clean_data_root, len(sampler.speakers))
+    trainer.train(sampler, args.n_steps, save_every=args.save_every,
+                  backup_every=args.backup_every, vis=vis,
+                  projection_every=args.umap_every)
     return 0
 
 

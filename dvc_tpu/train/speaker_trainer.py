@@ -133,7 +133,12 @@ class SpeakerEncoderTrainer:
 
     def train(self, sampler, n_steps: int, save_every: int = 500,
               backup_every: int = 3000, log_every: int = 10,
+              vis=None, projection_every: int = 0,
               logging_func=print) -> list[dict]:
+        """`vis` (utils.visualizations.Visualizations) streams loss/EER/
+        step-time curves and, every `projection_every` steps, an embedding-
+        projection png — the reference's visdom + periodic UMAP loop
+        (encoder/train.py:102-111)."""
         history = []
         t_last = time.time()
         it = iter(sampler)
@@ -150,8 +155,19 @@ class SpeakerEncoderTrainer:
                                 "step_time_s": dt})
                 logging_func(f"step {step}: loss {loss_f:.4f} EER {eer:.4f} "
                              f"({dt * 1000:.0f} ms/step)")
+                if vis is not None:
+                    vis.update(loss_f, eer, dt, step)
+            if vis is not None and projection_every \
+                    and step % projection_every == 0:
+                flat = np.asarray(batch).reshape(-1, batch.shape[-2],
+                                                 batch.shape[-1])
+                embeds = np.asarray(self.model.apply(
+                    {"params": self.state.params}, jnp.asarray(flat)))
+                vis.draw_projections(embeds, batch.shape[1], step)
             if self.models_dir and save_every and step % save_every == 0:
                 self.save()
             if self.models_dir and backup_every and step % backup_every == 0:
                 self.save(backup=True)
+        if vis is not None:
+            vis.save()
         return history

@@ -95,6 +95,42 @@ class TestSpeakerTrainerEndToEnd:
         assert t2.resume()
         assert int(t2.state.step) >= 25
 
+    def test_visualizations_stream(self, tmp_path):
+        """Live curves + periodic projections during training (role of the
+        reference's visdom/UMAP loop, encoder/train.py:102-111)."""
+        from dvc_tpu.config import SpeakerEncoderConfig
+        from dvc_tpu.data.speaker_dataset import SpeakerVerificationSampler
+        from dvc_tpu.train.speaker_trainer import SpeakerEncoderTrainer
+        from dvc_tpu.utils.visualizations import Visualizations
+
+        rng = np.random.RandomState(1)
+        for s in range(4):
+            d = tmp_path / f"spk{s}"
+            d.mkdir()
+            for u in range(3):
+                np.save(d / f"u{u}.npy",
+                        (0.1 * rng.rand(80, 40)
+                         + np.eye(80)[s * 8][:, None]).astype(np.float32))
+
+        cfg = SpeakerEncoderConfig(hidden_size=16, embedding_size=16,
+                                   num_layers=1, speakers_per_batch=4,
+                                   utterances_per_speaker=2,
+                                   partials_n_frames=12)
+        sampler = SpeakerVerificationSampler(str(tmp_path), 4, 2, 12, seed=0)
+        trainer = SpeakerEncoderTrainer(cfg)
+        viz_dir = str(tmp_path / "viz")
+        vis = Visualizations("t", viz_dir, update_every=10)
+        vis.log_params(cfg)
+        vis.log_dataset(str(tmp_path), 4)
+        trainer.train(sampler, n_steps=10, save_every=0, backup_every=0,
+                      log_every=5, vis=vis, projection_every=5,
+                      logging_func=lambda *a: None)
+        files = os.listdir(viz_dir)
+        assert any(f.endswith("_curves.png") for f in files), files
+        assert any("_umap_" in f for f in files), files
+        assert any(f.endswith("_params.json") for f in files), files
+        assert len(vis.losses) == 2  # two log windows recorded
+
 
 class TestWorldPreprocessToMCCDataset:
     def test_npz_contract(self, tmp_path):
