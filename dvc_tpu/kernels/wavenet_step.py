@@ -25,18 +25,32 @@ Numerical contract: identical to models.wavenet.fast_generate (and therefore
 to the teacher-forced conv forward) up to the RNG stream, which here is the
 TPU hardware PRNG instead of jax.random.
 
+TWO kernel variants, auto-dispatched by VMEM footprint:
+  * RESIDENT (default, batch <= ~96): grid (T,), ALL weights live in VMEM
+    (49 MB bf16) and the 24-layer loop is statically unrolled — no weight
+    DMA, no per-layer grid bookkeeping.
+  * STREAMED (large batch): grid (T, L), per-layer weight blocks DMA'd via
+    BlockSpec index_map (double-buffered by Pallas).
+
 Measured (v5e, full 24-layer config, bf16 weights; best-of-3 with
 value-fetch-closed timing — this environment's block_until_ready acks early):
-    batch 8:   2962 samples/s/utt (23.7k aggregate)
-    batch 128: 2938 samples/s/utt (376k aggregate — 23.5x realtime)
-Per-utterance throughput is ~flat in batch: the loop is bound by per-layer
-body latency, so batching is nearly free up to the VMEM limit.
-Tuning history: (a) the 16MB scoped-vmem cap was a compiler default —
-vmem_limit_bytes=100MB keeps the (504, B, 512) ring buffers resident to
-b=128; (b) streaming biases as (lb,1,C) blocks instead of dynamic pl.ds
-reads from resident arrays gave +77%% at b128 (dynamic sublane indexing
-stalls); (c) fusing the 6 matmuls into 2 measured 3.4x WORSE (concat
-copies + wide-K small-M matmuls), so fuse_matmuls defaults off.
+    resident b=1:  76.0k samples/s/utt (4.7x realtime single stream)
+    resident b=8:  71.3k samples/s/utt (570k aggregate)
+    resident b=64: 44.3k samples/s/utt (2.84M aggregate)
+    resident b=96: 32.6k samples/s/utt (3.13M aggregate — 196x realtime)
+    streamed b=128: 5.7k samples/s/utt (735k aggregate)
+Round-2 findings (tools/bench_taps.py / bench_body*.py): the round-1
+"ring-buffer dynamic read" hypothesis was WRONG — dynamic VMEM taps cost the
+same as static; the 14 us/layer was the (T, L) grid's per-layer block
+plumbing (streamed body 3.9 us/layer vs 1.6 resident), plus TWO host-side
+per-call costs that dwarfed the kernel: re-packing/re-uploading 50 MB of
+weights (fixed by pack_wavenet_params_cached) and re-tracing/lowering the
+pallas_call (~3 s/call on this 1-core host; fixed by the _resident_call
+lru_cache + jit).
+Round-1 tuning history (streamed): (a) the 16MB scoped-vmem cap was a
+compiler default — vmem_limit_bytes raises it; (b) streaming biases as
+blocks gave +77%% at b128; (c) fusing the 6 matmuls into 2 measured 3.4x
+WORSE (concat copies), so fuse_matmuls defaults off.
 
 
 int8 weight streaming (quantize_int8=True) is available — halves HBM bytes
@@ -48,6 +62,7 @@ at this batch.  Revisit if the loop becomes DMA-bound (larger batch).
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -70,6 +85,27 @@ def _quantize_int8(w: np.ndarray, axis_last: bool = True):
     scale = np.maximum(scale, 1e-12)
     q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
     return q, np.squeeze(scale, axis=red).astype(np.float32)
+
+
+_PACK_CACHE: dict = {}
+
+
+def pack_wavenet_params_cached(params: dict, cfg: VocoderConfig,
+                               dtype=jnp.bfloat16,
+                               quantize: bool = False) -> dict:
+    """Memoized pack_wavenet_params.  Packing stacks ~25M host-side params
+    and uploads ~50 MB to the device — done per CALL it dominates generation
+    (measured 568 vs ~25k samples/s/utt); callers converting many utterances
+    with the same weights must hit this cache."""
+    key = (id(params), str(dtype), quantize, id(cfg))
+    hit = _PACK_CACHE.get(key)
+    if hit is not None and hit[0] is params:
+        return hit[1]
+    packed = pack_wavenet_params(params, cfg, dtype, quantize)
+    if len(_PACK_CACHE) > 4:
+        _PACK_CACHE.clear()
+    _PACK_CACHE[key] = (params, packed)  # strong ref keeps id() stable
+    return packed
 
 
 def pack_wavenet_params(params: dict, cfg: VocoderConfig,
@@ -163,6 +199,181 @@ def _uniform_from_bits(bits):
     """uint32 random bits -> uniform floats in (eps, 1-eps)."""
     f = bits.astype(jnp.float32) * (1.0 / 4294967296.0) + 0.5
     return jnp.clip(f, 1e-5, 1.0 - 1e-5)
+
+
+def _mol_sample(y_hat, batch, nr_mix, log_scale_min, deterministic):
+    """In-kernel MoL sampling (B, 3K) -> (B,): gumbel-max mixture selection +
+    logistic inverse CDF; deterministic mode returns the argmax mixture mean."""
+    logit = y_hat[:, :nr_mix]
+    if deterministic:
+        gumb = jnp.zeros_like(logit)
+    else:
+        u1 = _uniform_from_bits(pltpu.bitcast(
+            pltpu.prng_random_bits((batch, nr_mix)), jnp.int32))
+        gumb = -jnp.log(-jnp.log(u1))
+    sel_idx = jnp.argmax(logit + gumb, axis=-1)
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (batch, nr_mix), 1)
+              == sel_idx[:, None]).astype(jnp.float32)
+    mean = jnp.sum(y_hat[:, nr_mix:2 * nr_mix] * onehot, axis=-1)
+    log_s = jnp.maximum(
+        jnp.sum(y_hat[:, 2 * nr_mix:] * onehot, axis=-1), log_scale_min)
+    if deterministic:
+        x = mean
+    else:
+        u2 = _uniform_from_bits(pltpu.bitcast(
+            pltpu.prng_random_bits((batch, nr_mix)), jnp.int32))[:, 0]
+        x = mean + jnp.exp(log_s) * (jnp.log(u2) - jnp.log1p(-u2))
+    return jnp.clip(x, -1.0, 1.0)
+
+
+def _make_kernel_resident(cfg: VocoderConfig, batch: int,
+                          deterministic: bool = False):
+    """v3 kernel: grid (T,) with ALL weights RESIDENT in VMEM and the layer
+    loop statically unrolled (static weight indexing, no per-layer grid
+    bookkeeping, no weight DMA in the loop).  Microbenchmarks on v5e showed
+    the streamed (T, L) structure pays ~4 us/layer of block plumbing while
+    the whole resident body runs in ~1.6 us/layer; the full model's weights
+    (49 MB bf16) plus the ring buffers fit VMEM up to batch ~64."""
+    L = cfg.layers
+    R = cfg.residual_channels
+    G = cfg.gate_channels
+    G2 = G // 2
+    S = cfg.skip_out_channels
+    K = cfg.out_channels
+    nr_mix = K // 3
+    legacy = cfg.legacy
+    log_scale_min = np.float32(cfg.log_scale_min)
+    dil_static = [cfg.dilation(i) for i in range(L)]
+    offs_static = np.concatenate([[0], np.cumsum([2 * d for d in dil_static])[:-1]])
+
+    def kernel(seed_ref,                                    # scalar prefetch
+               cond_ref,                                    # (1, B, C) idx t
+               w_dil_ref, w_out_ref, w_c_ref, w_skip_ref,   # resident (L,...)
+               b_dil_ref, b_skip_ref, b_out_ref,            # resident biases
+               w_first_ref, b_first_ref, w_f1_ref, b_f1_ref, w_f2_ref, b_f2_ref,
+               out_ref, bufs, x_prev):                      # out + scratch
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _init():
+            if not deterministic:
+                pltpu.prng_seed(seed_ref[0])
+            bufs[...] = jnp.zeros_like(bufs)
+            x_prev[...] = jnp.zeros_like(x_prev)
+
+        x_col = x_prev[:, :1]
+        h = x_col * w_first_ref[0][None, :] + b_first_ref[0][None, :]
+        cond = cond_ref[0]
+        skip = None
+        cd = w_dil_ref.dtype
+
+        for ll in range(L):
+            d = dil_static[ll]
+            off = int(offs_static[ll])
+            two_d = 2 * d
+            wp = jax.lax.rem(t, two_d)                 # dynamic within buffer
+            tap_d = off + jax.lax.rem(wp + d, two_d)
+            tap_2d = off + wp
+            x_tm2d = bufs[pl.ds(tap_2d, 1)][0].astype(jnp.float32)
+            x_tmd = bufs[pl.ds(tap_d, 1)][0].astype(jnp.float32)
+
+            conv = (jnp.dot(x_tm2d.astype(cd), w_dil_ref[ll, 0],
+                            preferred_element_type=jnp.float32)
+                    + jnp.dot(x_tmd.astype(cd), w_dil_ref[ll, 1],
+                              preferred_element_type=jnp.float32)
+                    + jnp.dot(h.astype(cd), w_dil_ref[ll, 2],
+                              preferred_element_type=jnp.float32)
+                    + jnp.dot(cond.astype(cd), w_c_ref[ll],
+                              preferred_element_type=jnp.float32)
+                    + b_dil_ref[ll, 0])
+            a = conv[:, :G2]
+            g = conv[:, G2:]
+            gated = jnp.tanh(a) * jax.nn.sigmoid(g)
+
+            s = (jnp.dot(gated.astype(cd), w_skip_ref[ll],
+                         preferred_element_type=jnp.float32)
+                 + b_skip_ref[ll, 0])
+            res = (jnp.dot(gated.astype(cd), w_out_ref[ll],
+                           preferred_element_type=jnp.float32)
+                   + b_out_ref[ll, 0])
+
+            bufs[pl.ds(tap_2d, 1)] = h.astype(bufs.dtype)[None]
+            h = (res + h) * SQRT_HALF
+            if skip is None:
+                skip = s
+            else:
+                skip = (skip + s) * (SQRT_HALF if legacy else 1.0)
+
+        o = jax.nn.relu(skip)
+        o = jax.nn.relu(jnp.dot(o.astype(w_f1_ref.dtype), w_f1_ref[...],
+                                preferred_element_type=jnp.float32)
+                        + b_f1_ref[0][None, :])
+        y_hat = jnp.dot(o, w_f2_ref[...],
+                        preferred_element_type=jnp.float32) + b_f2_ref[0][None, :]
+        x = _mol_sample(y_hat, batch, nr_mix, log_scale_min, deterministic)
+        x_prev[...] = jnp.broadcast_to(x[:, None], x_prev.shape)
+        out_ref[...] = x[None, None, :]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=16)
+def _resident_call(cfg: VocoderConfig, b: int, t_total: int, C: int,
+                   buf_total: int, wdt_name: str, deterministic: bool,
+                   interpret: bool):
+    """Build (once per shape signature) the jitted resident-kernel callable.
+
+    Rebuilding pl.pallas_call per invocation re-traces + re-lowers the
+    24-layer unrolled kernel on the host every call (~3 s of fixed overhead
+    per utterance on a 1-core host, measured) — caching the jitted function
+    removes it."""
+    kernel = _make_kernel_resident(cfg, b, deterministic=deterministic)
+    wdt = jnp.dtype(wdt_name)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # seed
+        grid=(t_total,),
+        in_specs=[
+            pl.BlockSpec((1, b, C), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),       # cond (T, B, C)
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 13,
+        out_specs=pl.BlockSpec((1, 1, b), lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((buf_total, b, cfg.residual_channels), wdt),
+            pltpu.VMEM((b, 128), jnp.float32),           # x_prev
+        ],
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t_total, 1, b), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+    def run(seed_arr, cond_tbc, *weights):
+        return call(seed_arr, cond_tbc, *weights)[:, 0, :].T
+
+    return run if interpret else jax.jit(run)
+
+
+def pallas_generate_resident(packed: dict, cond: jax.Array, seed: int,
+                             cfg: VocoderConfig, interpret: bool = False,
+                             deterministic: bool = False) -> jax.Array:
+    """Resident-weights generation path; cond is (B, T, C) upsampled."""
+    b, t_total, C = cond.shape
+    run = _resident_call(cfg, b, t_total, C, packed["buf_total"],
+                         str(packed["w_dil"].dtype), deterministic, interpret)
+    return run(jnp.asarray([seed], jnp.int32),
+               jnp.swapaxes(cond, 0, 1).astype(jnp.float32),
+               packed["w_dil"], packed["w_out"], packed["w_c"],
+               packed["w_skip"], packed["b_dil"], packed["b_skip"],
+               packed["b_out"], packed["w_first"], packed["b_first"],
+               packed["w_f1"], packed["b_f1"], packed["w_f2"],
+               packed["b_f2"])
 
 
 def _make_kernel(cfg: VocoderConfig, t_total: int, batch: int,
@@ -289,33 +500,28 @@ def _make_kernel(cfg: VocoderConfig, t_total: int, batch: int,
                             + b_f1_ref[0][None, :])
             y_hat = jnp.dot(o, w_f2_ref[...],
                             preferred_element_type=jnp.float32) + b_f2_ref[0][None, :]
-            # MoL sampling (B, K): gumbel-max mixture + logistic inverse CDF.
-            # deterministic mode (CPU-interpret tests / greedy decode): u == 0.5
-            # -> gumbel ties resolve to argmax(logit), logistic term == 0.
-            logit = y_hat[:, :nr_mix]
-            if deterministic:
-                gumb = jnp.zeros_like(logit)
-            else:
-                u1 = _uniform_from_bits(pltpu.bitcast(
-                    pltpu.prng_random_bits((batch, nr_mix)), jnp.int32))
-                gumb = -jnp.log(-jnp.log(u1))
-            sel_idx = jnp.argmax(logit + gumb, axis=-1)
-            onehot = (jax.lax.broadcasted_iota(jnp.int32, (batch, nr_mix), 1)
-                      == sel_idx[:, None]).astype(jnp.float32)
-            mean = jnp.sum(y_hat[:, nr_mix:2 * nr_mix] * onehot, axis=-1)
-            log_s = jnp.maximum(
-                jnp.sum(y_hat[:, 2 * nr_mix:] * onehot, axis=-1), log_scale_min)
-            if deterministic:
-                x = mean
-            else:
-                u2 = _uniform_from_bits(pltpu.bitcast(
-                    pltpu.prng_random_bits((batch, nr_mix)), jnp.int32))[:, 0]
-                x = mean + jnp.exp(log_s) * (jnp.log(u2) - jnp.log1p(-u2))
-            x = jnp.clip(x, -1.0, 1.0)
+            x = _mol_sample(y_hat, batch, nr_mix, log_scale_min, deterministic)
             x_prev[...] = jnp.broadcast_to(x[:, None], x_prev.shape)
             out_ref[...] = x[None, None, :]
 
     return kernel
+
+
+@functools.lru_cache(maxsize=4)
+def _upsample_jit(cfg: VocoderConfig):
+    from flax import linen as nn
+    return jax.jit(nn.apply(lambda m, c: m.upsample(c), WaveNet(cfg)))
+
+
+def _resident_fits(packed: dict, cfg: VocoderConfig, batch: int,
+                   budget_bytes: int = 100 * 1024 * 1024) -> bool:
+    """Estimate whether all weights + ring buffers fit VMEM for the resident
+    kernel (v5e exposes well over the 16MB compiler-default scoped limit)."""
+    itemsize = jnp.dtype(packed["w_dil"].dtype).itemsize
+    weights = sum(int(np.prod(packed[k].shape)) for k in
+                  ("w_dil", "w_out", "w_c", "w_skip")) * itemsize
+    bufs = packed["buf_total"] * batch * cfg.residual_channels * itemsize
+    return weights + bufs < budget_bytes
 
 
 def pallas_generate(variables: dict, c_frames: jax.Array, seed: int,
@@ -325,20 +531,37 @@ def pallas_generate(variables: dict, c_frames: jax.Array, seed: int,
                     deterministic: bool = False,
                     quantize_int8: bool = False,
                     layers_per_block: int = 1,
-                    fuse_matmuls: bool = False) -> jax.Array:
+                    fuse_matmuls: bool = False,
+                    resident: bool | None = None) -> jax.Array:
     """(B, T_frames, n_mels) mel -> (B, T_frames * hop) sampled waveform.
 
+    resident (default auto): keep ALL weights in VMEM and unroll the layer
+    loop in a grid-(T,) kernel — 2938 -> ~25k samples/s/utt on v5e (the
+    streamed (T, L) grid paid ~4x the body time in per-layer block plumbing).
+    Falls back to the streamed kernel when weights + ring buffers exceed
+    VMEM (large batch) or int8 streaming is requested.
+
     quantize_int8: stream the four big weight families as int8 with
-    per-output-channel scales (half the HBM traffic of bf16 — the AR loop's
-    bound); activations and accumulations stay bf16/f32.
+    per-output-channel scales (half the HBM traffic of bf16); activations
+    and accumulations stay bf16/f32.
     """
-    packed = pack_wavenet_params(variables["params"], cfg, weight_dtype,
-                                 quantize=quantize_int8)
-    # upsample conditioning once, batched, outside the kernel
-    from flax import linen as nn
-    up = nn.apply(lambda m, c: m.upsample(c), WaveNet(cfg))
-    cond = up(variables, c_frames)  # (B, T, C)
+    packed = pack_wavenet_params_cached(variables["params"], cfg, weight_dtype,
+                                        quantize=quantize_int8)
+    # upsample conditioning once, batched, outside the kernel — JITTED: run
+    # eagerly this dispatches dozens of ops one by one (seconds of fixed
+    # overhead per call over a remote-device link)
+    cond = _upsample_jit(cfg)(variables, c_frames)  # (B, T, C)
     b, t_total, C = cond.shape
+
+    if resident is None:
+        resident = (not quantize_int8 and not fuse_matmuls
+                    and layers_per_block == 1
+                    and _resident_fits(packed, cfg, b))
+    if resident:
+        assert not quantize_int8, "resident path is bf16/f32 only"
+        return pallas_generate_resident(packed, cond, seed, cfg,
+                                        interpret=interpret,
+                                        deterministic=deterministic)
 
     L = cfg.layers
     R = cfg.residual_channels

@@ -57,6 +57,15 @@ class TestPallasWaveNet:
         assert got.shape == want.shape
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-4, atol=2e-4)
+        # both kernel variants must match the scan sampler: resident
+        # (grid (T,), weights in VMEM, unrolled layers) and streamed
+        # (grid (T, L), weight blocks DMA'd per layer)
+        for res in (True, False):
+            got_v = pallas_generate(variables, c, seed=123, cfg=cfg,
+                                    interpret=True, weight_dtype=jnp.float32,
+                                    deterministic=True, resident=res)
+            np.testing.assert_allclose(np.asarray(got_v), np.asarray(want),
+                                       rtol=2e-4, atol=2e-4)
         # trajectory must actually move (not all-zero / constant)
         assert float(jnp.std(want)) > 1e-4
 
