@@ -112,6 +112,8 @@ class TrainConfig:
     compute_dtype: str = "bfloat16"   # matmul/conv compute dtype; params stay f32
     donate_state: bool = True
     remat: bool = False               # jax.checkpoint over the pair forward
+    checkpoint_format: str = "msgpack"  # "msgpack" (single-host file) or
+                                        # "orbax" (sharded dir, multi-host)
 
 
 @dataclass(frozen=True)

@@ -189,18 +189,21 @@ class Trainer:
     def load_last(self) -> int:
         if not self.checkpoints_path:
             return 1
-        loaded = ckpt_lib.load_last_checkpoint(self.checkpoints_path, self.state)
+        loaded = ckpt_lib.load_last_checkpoint(self.checkpoints_path, self.state,
+                                               shardings=self._state_shardings)
         if loaded is None:
             return 1
         epoch, self.state = loaded
         if self._state_shardings is not None:
-            # restore the explicit placement (ZeRO shards, TP shards)
+            # restore the explicit placement (ZeRO shards, TP shards); a
+            # no-op for orbax restores, which already placed every shard
             self.state = jax.device_put(self.state, self._state_shardings)
         return epoch + 1
 
     def save(self, epoch: int) -> str:
         return ckpt_lib.save_checkpoint(self.checkpoints_path, self.run_name,
-                                        epoch, self.state)
+                                        epoch, self.state,
+                                        fmt=self.cfg.train.checkpoint_format)
 
     # -- epoch loops ---------------------------------------------------------
 
