@@ -1,6 +1,8 @@
 """Unit tests for the DSP ops against the reference's defining formulas
 (preprocessing/utils.py:68-143, model/variational_base_vae.py:335-348)."""
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -20,6 +22,7 @@ from dvc_tpu.ops import (
     unchunk_mel,
 )
 from dvc_tpu.ops.mel import hz_to_mel, mel_to_hz
+from dvc_tpu.ops.stft import stft_magnitude
 
 
 class TestMelFilterbank:
@@ -191,3 +194,34 @@ class TestChunking:
         chunks = chunk_mel(jnp.asarray(mel), 64)
         back = unchunk_mel(chunks, total_frames=200)
         np.testing.assert_allclose(np.asarray(back), mel)
+
+
+_LWS_GOLDEN = os.path.join(os.path.dirname(__file__), "fixtures",
+                           "lws_golden.npz")
+
+
+@pytest.mark.skipif(not os.path.exists(_LWS_GOLDEN),
+                    reason="lws golden vectors not recorded yet (run "
+                           "tools/gen_lws_golden.py where lws exists and "
+                           "commit the fixture)")
+class TestLwsGolden:
+    """Pins the lws window/framing assumption (reference
+    preprocessing/utils.py:84-86) against recorded lws output — the window
+    shifts every mel and every checkpoint-parity number, so an exact gate."""
+
+    @pytest.mark.parametrize("name", ["tone", "noise", "chirp", "short"])
+    def test_stft_magnitude_matches_lws(self, name):
+        from dvc_tpu.config import AudioConfig
+
+        g = dict(np.load(_LWS_GOLDEN))
+        wav = g[f"{name}_wav"]
+        want = g[f"{name}_mag"]  # (frames, n_freq)
+        got = np.asarray(stft_magnitude(jnp.asarray(wav), AudioConfig()))
+        assert got.shape == want.shape, (got.shape, want.shape)
+        scale = np.median(want[want > 1e-6] / np.maximum(got[want > 1e-6],
+                                                         1e-12))
+        # the window SHAPE must match exactly (relative error after a single
+        # global scale); a pure scale difference would also be caught by the
+        # dB chain, so assert it is ~1 too
+        np.testing.assert_allclose(got * scale, want, rtol=1e-3, atol=1e-4)
+        assert abs(scale - 1.0) < 1e-3, f"lws window scale differs: {scale}"
