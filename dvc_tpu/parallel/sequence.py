@@ -1,5 +1,5 @@
 """Sequence (frame-axis) parallelism: sharded 1-D convolution with halo
-exchange.
+exchange, and a blockwise-recurrent sharded LSTM with ring carry relay.
 
 The reference architecture caps sequences at 64 frames and chunks long
 utterances into independent blocks (model/variational_base_vae.py:335-348),
@@ -83,6 +83,106 @@ def sequence_sharded_conv1d(x: jax.Array, kernel: jax.Array,
     if bias is None:
         bias = jnp.zeros((kernel.shape[-1],), x.dtype)
     return fn(x, kernel, bias)
+
+
+def _lstm_local_round(xs_local: jax.Array, h0: jax.Array, c0: jax.Array,
+                      w_hh_t: jax.Array, unroll: int):
+    """Scan the local chunk from a given carry; xs_local: (Tl, B, 4H)."""
+
+    def step(carry, xt):
+        h, c = carry
+        gates = xt + jnp.dot(h, w_hh_t, preferred_element_type=jnp.float32)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    return jax.lax.scan(step, (h0, c0), xs_local, unroll=unroll)
+
+
+def sequence_sharded_lstm(x: jax.Array, w_ih: jax.Array, w_hh: jax.Array,
+                          b_ih: jax.Array, b_hh: jax.Array, mesh: Mesh,
+                          axis_name: str | None = None, reverse: bool = False,
+                          unroll: int = 8
+                          ) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
+    """One LSTM direction over (B, T, I) with the FRAME axis sharded.
+
+    The TPU-native split of the recurrence: the input projection — the
+    MXU-heavy (B*T, I) x (I, 4H) matmul — runs fully parallel on every
+    shard, and only the small (B, H) carry travels: the recurrence relays
+    (h, c) around the device ring with `lax.ppermute`, one shard active per
+    round (blockwise-recurrent pattern).  Memory and the big matmuls scale
+    with the shards; a bidirectional pair pipelines its two directions from
+    opposite ends of the ring concurrently.
+
+    Bit-equal to layers.lstm_direction (tests/test_sequence_parallel.py).
+    Returns (outputs (B, T, H) frame-sharded, (h_T, c_T) replicated).
+    """
+    axis_name = axis_name or mesh.axis_names[0]
+    n = mesh.shape[axis_name]
+    assert x.shape[1] % n == 0, "frame axis must divide the mesh axis"
+    h_dim = w_hh.shape[-1]
+    b = x.shape[0]
+
+    def body(x_local, w_ih_, w_hh_, b_ih_, b_hh_):
+        idx = jax.lax.axis_index(axis_name)
+        xp = jnp.einsum("bti,gi->btg", x_local, w_ih_,
+                        preferred_element_type=jnp.float32) + b_ih_ + b_hh_
+        if reverse:
+            xp = jnp.flip(xp, axis=1)
+        xs_local = jnp.swapaxes(xp, 0, 1)  # (Tl, B, 4H)
+        w_hh_t = w_hh_.T
+
+        # carries must be device-varying for shard_map's type system (their
+        # values genuinely diverge per shard once the ring relay runs)
+        def _varying(z):
+            try:
+                return jax.lax.pvary(z, axis_name)
+            except AttributeError:  # older jax: derive from a varying value
+                return z + xs_local[0, :1, :1] * 0.0
+
+        zero_h = _varying(jnp.zeros((b, h_dim), xp.dtype))
+        ys0 = _varying(jnp.zeros((xs_local.shape[0], b, h_dim), xp.dtype))
+        # ring direction: forward passes the carry to idx+1; a reversed
+        # direction starts at the LAST shard and passes to idx-1
+        if reverse:
+            perm = [(i, (i - 1) % n) for i in range(n)]
+            active_of_round = lambda r: (n - 1) - r
+        else:
+            perm = [(i, (i + 1) % n) for i in range(n)]
+            active_of_round = lambda r: r
+
+        def do_round(r, carry):
+            (h, c), ys = carry
+            (h2, c2), ys_local = _lstm_local_round(xs_local, h, c, w_hh_t,
+                                                   unroll)
+            active = idx == active_of_round(r)
+            ys = jnp.where(active, ys_local, ys)
+            h_send = jnp.where(active, h2, h)
+            c_send = jnp.where(active, c2, c)
+            h_next = jax.lax.ppermute(h_send, axis_name, perm)
+            c_next = jax.lax.ppermute(c_send, axis_name, perm)
+            return (h_next, c_next), ys
+
+        (h_fin, c_fin), ys = jax.lax.fori_loop(
+            0, n, do_round, ((zero_h, zero_h), ys0))
+        # after the final relay the true carry sits on the ring's start
+        # shard; replicate it with a masked psum
+        start = n - 1 if reverse else 0
+        h_fin = jax.lax.psum(jnp.where(idx == start, h_fin, 0.0), axis_name)
+        c_fin = jax.lax.psum(jnp.where(idx == start, c_fin, 0.0), axis_name)
+        ys = jnp.swapaxes(ys, 0, 1)  # (B, Tl, H)
+        if reverse:
+            ys = jnp.flip(ys, axis=1)
+        return ys, h_fin, c_fin
+
+    spec_t = P(None, axis_name, None)
+    rep2 = P(None, None)
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(spec_t, rep2, rep2, P(None), P(None)),
+                   out_specs=(spec_t, rep2, rep2))
+    ys, h_fin, c_fin = fn(x, w_ih, w_hh, b_ih, b_hh)
+    return ys, (h_fin, c_fin)
 
 
 def frame_sharded_encode_conv_stack(x: jax.Array, params: dict, mesh: Mesh,

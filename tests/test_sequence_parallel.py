@@ -95,3 +95,67 @@ class TestSequenceShardedConv:
             w, k2, (1,), [(1, 1)], dimension_numbers=("NHC", "HIO", "NHC"))
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-5)
+
+
+class TestSequenceShardedLSTM:
+    """Frame-sharded LSTM (ring carry relay) is bit-equal to the serial
+    lstm_direction in both directions."""
+
+    def _params(self, in_dim=12, hidden=16, seed=0):
+        rng = np.random.RandomState(seed)
+        return (rng.randn(4 * hidden, in_dim).astype(np.float32) * 0.2,
+                rng.randn(4 * hidden, hidden).astype(np.float32) * 0.2,
+                rng.randn(4 * hidden).astype(np.float32) * 0.1,
+                rng.randn(4 * hidden).astype(np.float32) * 0.1)
+
+    @pytest.mark.parametrize("reverse", [False, True])
+    def test_matches_serial(self, mesh, reverse):
+        from dvc_tpu.models.layers import lstm_direction
+        from dvc_tpu.parallel.sequence import sequence_sharded_lstm
+
+        w_ih, w_hh, b_ih, b_hh = self._params()
+        x = np.random.RandomState(1).randn(3, 32, 12).astype(np.float32)
+
+        want, (h_want, c_want) = lstm_direction(
+            jnp.asarray(x), jnp.asarray(w_ih), jnp.asarray(w_hh),
+            jnp.asarray(b_ih), jnp.asarray(b_hh), reverse=reverse, unroll=1)
+        got, (h_got, c_got) = sequence_sharded_lstm(
+            jnp.asarray(x), jnp.asarray(w_ih), jnp.asarray(w_hh),
+            jnp.asarray(b_ih), jnp.asarray(b_hh), mesh, reverse=reverse,
+            unroll=1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(h_got), np.asarray(h_want),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(c_got), np.asarray(c_want),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_bidirectional_composition(self, mesh):
+        """fwd+rev sharded passes == the serial bidirectional concat."""
+        from dvc_tpu.models.layers import lstm_direction
+        from dvc_tpu.parallel.sequence import sequence_sharded_lstm
+
+        x = np.random.RandomState(2).randn(2, 16, 12).astype(np.float32)
+        outs_serial, outs_sharded = [], []
+        for rev, seed in ((False, 3), (True, 4)):
+            w_ih, w_hh, b_ih, b_hh = self._params(seed=seed)
+            args = (jnp.asarray(x), jnp.asarray(w_ih), jnp.asarray(w_hh),
+                    jnp.asarray(b_ih), jnp.asarray(b_hh))
+            outs_serial.append(lstm_direction(*args, reverse=rev, unroll=1)[0])
+            outs_sharded.append(sequence_sharded_lstm(
+                *args, mesh, reverse=rev, unroll=1)[0])
+        want = jnp.concatenate(outs_serial, -1)
+        got = jnp.concatenate(outs_sharded, -1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_output_stays_frame_sharded(self, mesh):
+        from dvc_tpu.parallel.sequence import sequence_sharded_lstm
+        from jax.sharding import PartitionSpec as P
+
+        w_ih, w_hh, b_ih, b_hh = self._params()
+        x = jnp.asarray(np.random.RandomState(5).randn(2, 32, 12), jnp.float32)
+        got, _ = sequence_sharded_lstm(x, jnp.asarray(w_ih), jnp.asarray(w_hh),
+                                       jnp.asarray(b_ih), jnp.asarray(b_hh),
+                                       mesh)
+        assert got.sharding.spec == P(None, "data", None)
