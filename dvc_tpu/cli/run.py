@@ -38,19 +38,31 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--beta_cof", type=float, default=0.1)
     p.add_argument("--compute-dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--checkpoint-format", default="msgpack",
+                   choices=["msgpack", "orbax"])
+    p.add_argument("--features", default="mel", choices=["mel", "mcc"],
+                   help="mel: mel-spectrogram VAE (reference's active path); "
+                        "mcc: WORLD-MCC VAE (SpeechDatasetMCC2, the "
+                        "reference's commented alternative, train.py:52)")
+    p.add_argument("--num_mcep", type=int, default=36)
     p.add_argument("--do-not-resume", action="store_true")
 
 
 def _config_from_args(args) -> "Config":
     from dvc_tpu import config as C
+    num_mels = 80
+    if getattr(args, "features", "mel") == "mcc":
+        num_mels = args.num_mcep
     vae = C.VAEConfig(latent_dim=args.latent_size, speaker_size=args.speaker_size,
-                      frames=args.samples_length)
+                      frames=args.samples_length, num_mels=num_mels)
     loss = C.LossConfig(mse_cof=args.mse_cof, kl_cof=args.kl_cof,
                         style_cof=args.style_cof, beta_cof=args.beta_cof)
     train = C.TrainConfig(batch_size=args.batch_size, learning_rate=args.lr,
                           epochs=args.epochs, report_interval=args.report_interval,
                           seed=args.seed, samples_length=args.samples_length,
-                          compute_dtype=args.compute_dtype)
+                          compute_dtype=args.compute_dtype,
+                          checkpoint_format=getattr(args, "checkpoint_format",
+                                                    "msgpack"))
     return C.Config(vae=vae, loss=loss, train=train)
 
 
@@ -65,7 +77,7 @@ def cmd_preprocess(args) -> int:
 
 
 def cmd_train(args) -> int:
-    from dvc_tpu.data.dataset import PairedMelDataset
+    from dvc_tpu.data.dataset import PairedMCCDataset, PairedMelDataset
     from dvc_tpu.train.trainer import Trainer
 
     cfg = _config_from_args(args)
@@ -73,8 +85,9 @@ def cmd_train(args) -> int:
     with open(os.path.join(args.log_dir, "config.json"), "w") as f:
         f.write(cfg.to_json())
 
-    dataset = PairedMelDataset(args.dataset_fp, samples_length=args.samples_length,
-                               seed=args.seed)
+    ds_cls = PairedMCCDataset if args.features == "mcc" else PairedMelDataset
+    dataset = ds_cls(args.dataset_fp, samples_length=args.samples_length,
+                     seed=args.seed)
     trainer = Trainer(cfg,
                       checkpoints_path=os.path.join(args.log_dir, "checkpoints"),
                       logs_path=os.path.join(args.log_dir, "logs"),
@@ -219,6 +232,111 @@ def _pair_converted_to_source(src_dir: str, cvt_dir: str) -> list:
     return pairs
 
 
+def cmd_convert_world(args) -> int:
+    """WORLD-feature voice conversion: latent swap on normalized MCCs +
+    log-Gaussian pitch transform + WORLD synthesis (the path the reference
+    ships machinery for but never wires — see convert/world_conversion.py)."""
+    from glob import glob
+
+    import numpy as np
+
+    from dvc_tpu.convert.world_conversion import world_convert_utterance
+    from dvc_tpu.train.trainer import Trainer
+    from dvc_tpu.utils.wavio import write_wav
+
+    args.features = "mcc"
+    cfg = _config_from_args(args)
+    trainer = Trainer(cfg,
+                      checkpoints_path=os.path.join(args.log_dir, "checkpoints"))
+    epoch = trainer.load_last()
+    print(f"loaded MCC-VAE checkpoint at epoch {epoch - 1}")
+    variables = {"params": trainer.state.params,
+                 "batch_stats": trainer.state.batch_stats}
+
+    def stats(name):
+        return dict(np.load(os.path.join(args.dataset_fp, name)))
+
+    trg_stats = stats(f"mcep_{args.trg_spk}.npz")
+    src_logf0 = stats(f"log_f0_{args.src_spk}.npz")
+    trg_logf0 = stats(f"log_f0_{args.trg_spk}.npz")
+
+    src_fps = np.sort(glob(os.path.join(args.dataset_fp, args.src_spk, "*.npz")))
+    trg_fps = glob(os.path.join(args.dataset_fp, args.trg_spk, "*.npz"))
+    rng = np.random.RandomState(args.seed)
+    out_dir = os.path.join(args.log_dir, "generation_world",
+                           f"{args.src_spk}_to_{args.trg_spk}")
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(min(args.num_utterances, len(src_fps))):
+        src_npz = dict(np.load(src_fps[i]))
+        trg_npz = dict(np.load(trg_fps[rng.choice(len(trg_fps))]))
+        wav = world_convert_utterance(
+            trainer.model, variables, src_npz, trg_npz, trg_stats,
+            {"mean": float(src_logf0["mean"]), "std": float(src_logf0["std"])},
+            {"mean": float(trg_logf0["mean"]), "std": float(trg_logf0["std"])},
+            frames=args.samples_length)
+        utt = os.path.splitext(os.path.basename(src_fps[i]))[0]
+        out = os.path.join(
+            out_dir, f"convert_{args.src_spk}_to_{args.trg_spk}_{utt}.wav")
+        write_wav(out, wav, 16_000)
+        print(f"wrote {out}")
+    return 0
+
+
+def cmd_embed(args) -> int:
+    """Utterance embeddings from a trained GE2E encoder (reference
+    preprocessing/encoder/inference.py:111-155 applied over a directory)."""
+    from glob import glob
+
+    import numpy as np
+
+    from dvc_tpu.config import SpeakerEncoderConfig
+    from dvc_tpu.models.speaker_inference import SpeakerEmbedder
+    from dvc_tpu.train.speaker_trainer import SpeakerEncoderTrainer
+    from dvc_tpu.utils.wavio import read_audio
+
+    cfg = SpeakerEncoderConfig()
+    trainer = SpeakerEncoderTrainer(cfg, run_id=args.run_id,
+                                    models_dir=args.models_dir)
+    assert trainer.resume(), f"no {args.run_id} checkpoint in {args.models_dir}"
+    embedder = SpeakerEmbedder(cfg)
+    embedder.load(trainer.state.params)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    fps = sorted(glob(os.path.join(args.wav_dir, "**", "*.wav"),
+                      recursive=True)
+                 + glob(os.path.join(args.wav_dir, "**", "*.flac"),
+                        recursive=True))
+    for fp in fps:
+        wav, _sr = read_audio(fp)
+        embed = embedder.embed_utterance(wav)
+        rel = os.path.relpath(fp, args.wav_dir)
+        out_fn = "_".join(os.path.splitext(rel)[0].split(os.sep)) + "_embed.npy"
+        np.save(os.path.join(args.out_dir, out_fn), embed)
+    print(f"embedded {len(fps)} utterances -> {args.out_dir}")
+    return 0
+
+
+def cmd_train_vocoder(args) -> int:
+    """WaveNet vocoder training on a directory of wavs (the recipe behind the
+    reference's consumed EMA checkpoint, preprocessing/hparams.py:129-151)."""
+    from dvc_tpu.config import VocoderConfig
+    from dvc_tpu.train.vocoder_trainer import VocoderTrainer, wav_batches
+
+    cfg = VocoderConfig(layers=args.layers, stacks=args.stacks,
+                        residual_channels=args.residual_channels,
+                        gate_channels=args.residual_channels,
+                        skip_out_channels=max(8, args.residual_channels // 2))
+    trainer = VocoderTrainer(cfg, lr=args.lr,
+                             max_time_steps=args.max_time_steps)
+    batches = wav_batches(args.wav_dir, args.batch_size, args.max_time_steps,
+                          cfg, seed=args.seed)
+    trainer.train_steps(batches, args.n_steps)
+    os.makedirs(args.models_dir, exist_ok=True)
+    path = trainer.save(args.models_dir, run_id=args.run_id)
+    print(f"saved vocoder (EMA) checkpoint -> {path}")
+    return 0
+
+
 def cmd_eval_mcd(args) -> int:
     import numpy as np
     from dvc_tpu.eval.mcd import evaluate_mcd_wav
@@ -297,6 +415,34 @@ def main(argv=None) -> int:
     _add_train_args(p)
     p.add_argument("--fs_epochs", type=int, default=10)
     p.set_defaults(fn=cmd_train_fs)
+
+    p = sub.add_parser("convert-world")
+    _add_train_args(p)
+    p.add_argument("--src_spk", required=True)
+    p.add_argument("--trg_spk", required=True)
+    p.add_argument("--num_utterances", type=int, default=2)
+    p.set_defaults(fn=cmd_convert_world, samples_length=128)
+
+    p = sub.add_parser("embed")
+    p.add_argument("run_id")
+    p.add_argument("wav_dir")
+    p.add_argument("-m", "--models_dir", required=True)
+    p.add_argument("-o", "--out_dir", required=True)
+    p.set_defaults(fn=cmd_embed)
+
+    p = sub.add_parser("train-vocoder")
+    p.add_argument("wav_dir")
+    p.add_argument("-m", "--models_dir", required=True)
+    p.add_argument("--run_id", default="wavenet")
+    p.add_argument("--n_steps", type=int, default=1000)
+    p.add_argument("--batch_size", type=int, default=2)
+    p.add_argument("--max_time_steps", type=int, default=8000)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--layers", type=int, default=24)
+    p.add_argument("--stacks", type=int, default=4)
+    p.add_argument("--residual_channels", type=int, default=512)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_train_vocoder)
 
     p = sub.add_parser("eval-mcd")
     p.add_argument("--src_dir", required=True)

@@ -11,6 +11,7 @@ NLL + Adam, with an EMA parameter trail updated on device.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Any, Callable
 
@@ -40,8 +41,11 @@ def create_wavenet_state(rng: jax.Array, cfg: VocoderConfig,
     x = jnp.zeros((1, frames * hop, 1))
     params = model.init(rng, x, c)["params"]
     optimizer = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+    # the EMA trail must be a distinct buffer tree: aliasing `params` makes
+    # the donated first step hand the same buffer to XLA twice
+    ema = jax.tree_util.tree_map(jnp.array, params)
     return model, WaveNetState(step=jnp.zeros((), jnp.int32), params=params,
-                               ema_params=params,
+                               ema_params=ema,
                                opt_state=optimizer.init(params)), optimizer
 
 
@@ -93,3 +97,58 @@ class VocoderTrainer:
                 logging_func(f"vocoder step {int(self.state.step)}: "
                              f"nll {losses[-1]:.4f}")
         return losses
+
+    def save(self, models_dir: str, run_id: str = "wavenet") -> str:
+        """Persist the EMA parameters (the weights generation consumes — the
+        reference's published checkpoint is likewise the EMA trail) in the
+        msgpack layout convert/vocode.load_vocoder_params reads."""
+        from flax import serialization
+
+        os.makedirs(models_dir, exist_ok=True)
+        path = os.path.join(models_dir,
+                            f"{run_id}_step{int(self.state.step):09d}.msgpack")
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes({"params": self.state.ema_params}))
+        return path
+
+
+def wav_batches(wav_dir: str, batch_size: int, max_time_steps: int,
+                cfg: VocoderConfig, seed: int = 0, audio_cfg=None):
+    """Infinite (x, c) teacher-forcing batches from a directory of wavs.
+
+    Each draw picks random wavs and random hop-aligned crops of
+    max_time_steps samples (reference hparams.py:141), computes their mel
+    conditioning with the framework's batched mel op, and aligns c to
+    exactly T//hop frames (the upsampler's contract)."""
+    import glob as _glob
+
+    from dvc_tpu.config import AudioConfig
+    from dvc_tpu.ops.mel import melspectrogram
+
+    audio_cfg = audio_cfg or AudioConfig()
+    hop = int(np.prod(cfg.upsample_scales))
+    t = (max_time_steps // hop) * hop
+    frames = t // hop
+
+    from dvc_tpu.utils.wavio import read_audio
+    fps = sorted(_glob.glob(os.path.join(wav_dir, "**", "*.wav"),
+                            recursive=True))
+    assert fps, f"no wavs under {wav_dir}"
+    rng = np.random.RandomState(seed)
+    wavs = []
+    for fp in fps:
+        w, sr = read_audio(fp)
+        if len(w) >= t:
+            wavs.append(np.asarray(w, np.float32))
+    assert wavs, f"no wav under {wav_dir} is >= {t} samples"
+
+    while True:
+        xs = np.zeros((batch_size, t, 1), np.float32)
+        for b in range(batch_size):
+            w = wavs[rng.randint(len(wavs))]
+            start = rng.randint(0, len(w) - t + 1) // hop * hop
+            xs[b, :, 0] = w[start:start + t]
+        mel = np.asarray(melspectrogram(jnp.asarray(xs[..., 0]), audio_cfg))
+        c = np.swapaxes(mel, 1, 2)[:, :frames]  # (B, frames, n_mels)
+        yield xs, c
+

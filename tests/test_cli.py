@@ -103,3 +103,72 @@ class TestCliFlow:
     def test_unknown_subcommand_exits(self):
         with pytest.raises(SystemExit):
             main(["definitely-not-a-command"])
+
+
+class TestWorldCliFlow:
+    def test_mcc_train_and_convert_world(self, fake_vctk, tmp_path):
+        """preprocess-world -> train --features mcc -> convert-world."""
+        npz = str(tmp_path / "npz")
+        results = str(tmp_path / "res")
+        wav_root = str(fake_vctk / "VCTK-Corpus" / "wav16")
+        assert main(["preprocess-world", wav_root, "-o", npz,
+                     "--num_mcep", "24"]) == 0
+        assert os.path.exists(os.path.join(npz, "mcep_p226.npz"))
+
+        assert main(["train", "--dataset_fp", npz, "--log_dir", results,
+                     "--features", "mcc", "--num_mcep", "24",
+                     "--samples_length", "16", "--epochs", "1",
+                     "--report-interval", "1", "--batch-size", "2",
+                     "--compute-dtype", "float32"]) == 0
+
+        assert main(["convert-world", "--dataset_fp", npz,
+                     "--log_dir", results, "--features", "mcc",
+                     "--num_mcep", "24", "--samples_length", "16",
+                     "--src_spk", "p225", "--trg_spk", "p226",
+                     "--num_utterances", "1",
+                     "--compute-dtype", "float32"]) == 0
+        gen = os.path.join(results, "generation_world", "p225_to_p226")
+        wavs = [f for f in os.listdir(gen) if f.endswith(".wav")]
+        assert wavs
+
+
+class TestEmbedCli:
+    def test_train_speaker_then_embed(self, fake_vctk, tmp_path):
+        mels = str(tmp_path / "mels")
+        assert main(["preprocess", str(fake_vctk), "-o", mels,
+                     "-d", "VCTK", "--no_trim"]) == 0
+        models = str(tmp_path / "models")
+        assert main(["train-speaker", "ge2e", mels, "-m", models,
+                     "--n_steps", "2", "--speakers_per_batch", "2",
+                     "--utterances_per_speaker", "2", "--save_every", "2",
+                     "--umap_every", "0"]) == 0
+        out = str(tmp_path / "embeds")
+        assert main(["embed", "ge2e",
+                     str(fake_vctk / "VCTK-Corpus" / "wav16" / "p225"),
+                     "-m", models, "-o", out]) == 0
+        fps = [f for f in os.listdir(out) if f.endswith("_embed.npy")]
+        assert len(fps) == 4
+        e = np.load(os.path.join(out, fps[0]))
+        assert e.shape == (256,)
+        assert abs(float(np.linalg.norm(e)) - 1.0) < 1e-4
+
+
+class TestVocoderCli:
+    def test_train_vocoder_tiny(self, fake_vctk, tmp_path):
+        models = str(tmp_path / "voc")
+        wav_root = str(fake_vctk / "VCTK-Corpus" / "wav16" / "p225")
+        assert main(["train-vocoder", wav_root, "-m", models,
+                     "--n_steps", "2", "--batch_size", "1",
+                     "--max_time_steps", "512", "--layers", "2",
+                     "--stacks", "1", "--residual_channels", "16"]) == 0
+        ckpts = [f for f in os.listdir(models) if f.endswith(".msgpack")]
+        assert len(ckpts) == 1
+        # the saved EMA checkpoint loads through the production vocoder path
+        from dvc_tpu.config import VocoderConfig
+        from dvc_tpu.convert.vocode import make_vocoder
+        cfg = VocoderConfig(layers=2, stacks=1, residual_channels=16,
+                            gate_channels=16, skip_out_channels=8)
+        voc = make_vocoder(os.path.join(models, ckpts[0]), cfg,
+                           backend="scan", pad_frames_to=4)
+        wav = voc(np.random.RandomState(0).rand(80, 4).astype(np.float32))
+        assert np.isfinite(wav).all()
