@@ -33,8 +33,8 @@ def preprocess_world_speaker(speaker_dir: str, out_dir: str,
     os.makedirs(spk_out, exist_ok=True)
 
     wav_fps = sorted(glob.glob(os.path.join(speaker_dir, "*.wav")))
-    feats = []
-    for fp in wav_fps:
+
+    def analyze(fp):
         wav, sr = read_wav(fp)
         if sr != sample_rate:
             from dvc_tpu.ops.audio import resample_poly
@@ -43,7 +43,19 @@ def preprocess_world_speaker(speaker_dir: str, out_dir: str,
         wav = wav / max(1e-8, np.abs(wav).max())  # librosa.util.normalize
         f0, _, sp, ap, mc = world_encode_data(wav, sample_rate, frame_period,
                                               num_mcep)
-        feats.append((fp, f0, sp, ap, mc))
+        return (fp, f0, sp, ap, mc)
+
+    # thread pool over files: the native Harvest/D4C stages release the GIL
+    # inside the C++ engine, and the jitted CheapTrick stage queues on the
+    # device — the role of the reference's ThreadPool(8) over speakers
+    # (preprocessing/encoder/preprocess.py:135) applied per utterance
+    from concurrent.futures import ThreadPoolExecutor
+    workers = min(8, max(1, os.cpu_count() or 1))
+    if workers > 1 and len(wav_fps) > 1:
+        with ThreadPoolExecutor(workers) as pool:
+            feats = list(pool.map(analyze, wav_fps))
+    else:
+        feats = [analyze(fp) for fp in wav_fps]
 
     # per-speaker statistics (reference :278-292 and the :340-346 norm path)
     all_mc = np.concatenate([mc for _, _, _, _, mc in feats], axis=0)

@@ -94,6 +94,35 @@ class TestHarvest:
         v = f0[idx]
         assert abs(np.median(v) - 180) < 4
 
+    def test_speech_like_signal(self):
+        """Formant-filtered jittery glottal train + breath noise: the closest
+        synthetic to real speech with known ground truth."""
+        from scipy.signal import lfilter
+
+        rng = np.random.RandomState(0)
+        n = FS
+        pulses = np.zeros(n)
+        pos = 0.0
+        while pos < n - 1:
+            f = 120 * (1 + 0.03 * np.sin(2 * np.pi * 2.5 * pos / FS)) \
+                * (1 + 0.01 * rng.randn())
+            pulses[int(pos)] = 1.0
+            pos += FS / f
+        g = lfilter([1.0], [1, -0.96], pulses)
+        for fc, bw in ((500, 80), (1500, 120)):
+            r = np.exp(-np.pi * bw / FS)
+            th = 2 * np.pi * fc / FS
+            g = lfilter([1.0], [1, -2 * r * np.cos(th), r * r], g)
+        g = g / np.abs(g).max()
+        wav = (g + 0.01 * rng.randn(n)
+               + 0.02 * lfilter([1, -1], [1], rng.randn(n))).astype(np.float32)
+        f0, _ = native_world.harvest(wav, FS)
+        v = f0[f0 > 0]
+        assert (f0 > 0).mean() > 0.9
+        assert abs(np.median(v) - 120) < 6
+        # no octave/subharmonic errors anywhere on the contour
+        assert np.sum((v < 100) | (v > 145)) == 0
+
     def test_frame_period_grid(self):
         wav, _ = _pulse_train(200.0, seconds=0.5)
         f0_5, _ = native_world.harvest(wav, FS, frame_period=5.0)
