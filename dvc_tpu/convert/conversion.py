@@ -103,14 +103,21 @@ class VoiceConverter:
             if save_png:
                 self._save_pngs(save_dir, src_spk, trg_spk, utt_id,
                                 source_mel, recons, converted)
-            entry = [utt_id, recons, converted]
-            if vocoder is not None:
-                wav = vocoder(converted)  # (80, T) -> waveform
+            results.append([utt_id, recons, converted])
+
+        if vocoder is not None:
+            # batch-vocode all utterances in one device pass when the vocoder
+            # supports it (aggregate throughput instead of single-stream)
+            mels = [r[2] for r in results]
+            batch_fn = getattr(vocoder, "batch", None)
+            wavs = batch_fn(mels) if batch_fn is not None \
+                else [vocoder(m) for m in mels]
+            for entry, wav in zip(results, wavs):
                 self._write_wav(os.path.join(
-                    save_dir, f"convert_{src_spk}_to_{trg_spk}_{utt_id}.wav"), wav)
+                    save_dir, f"convert_{src_spk}_to_{trg_spk}_{entry[0]}.wav"),
+                    wav)
                 entry.append(wav)
-            results.append(tuple(entry))
-        return results
+        return [tuple(r) for r in results]
 
     @staticmethod
     def _save_pngs(save_dir, src_spk, trg_spk, utt_id, source, recons, converted):

@@ -132,5 +132,29 @@ def mel_to_waveform(mel_norm: np.ndarray, cfg: AudioConfig = AudioConfig(),
 
 def make_griffinlim_vocoder(cfg: AudioConfig = AudioConfig(), n_iter: int = 32):
     """Vocoder-protocol factory: (80, T) mel -> waveform (drop-in for
-    convert.vocode.make_vocoder's return)."""
-    return lambda mel: mel_to_waveform(np.asarray(mel), cfg, n_iter)
+    convert.vocode.make_vocoder's return); `.batch` vocodes many mels as one
+    padded device batch."""
+
+    def voc(mel: np.ndarray) -> np.ndarray:
+        return mel_to_waveform(np.asarray(mel), cfg, n_iter)
+
+    def voc_batch(mels: list) -> list:
+        if not mels:
+            return []
+        ts = [m.shape[1] for m in mels]
+        t_max = max(ts)
+        stack = np.zeros((len(mels), mels[0].shape[0], t_max), np.float32)
+        for i, m in enumerate(mels):
+            stack[i, :, :m.shape[1]] = np.asarray(m, np.float32)
+        mag = mel_to_stft_magnitude(jnp.asarray(stack), cfg)
+        wavs = griffin_lim(mag, cfg, n_iter)
+        out = []
+        for i, t in enumerate(ts):
+            w = wavs[i, : max(0, (t + 1) * cfg.hop_size - cfg.fft_size)]
+            peak = np.abs(w).max()
+            out.append((w / peak * 0.95).astype(np.float32)
+                       if peak > 1e-8 else w.astype(np.float32))
+        return out
+
+    voc.batch = voc_batch  # type: ignore[attr-defined]
+    return voc

@@ -53,16 +53,34 @@ def make_vocoder(ckpt_path: str, cfg: VocoderConfig = VocoderConfig(),
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "scan"
 
+    def _generate(c: np.ndarray) -> np.ndarray:
+        if backend == "pallas":
+            from dvc_tpu.kernels.wavenet_step import pallas_generate
+            return np.asarray(pallas_generate(variables, jnp.asarray(c),
+                                              seed, cfg))
+        return np.asarray(fast_generate(variables, jnp.asarray(c), rng, cfg))
+
     def wavegen(mel: np.ndarray) -> np.ndarray:
         t = mel.shape[1]
         bucket = -(-t // pad_frames_to) * pad_frames_to
         c = np.zeros((1, bucket, mel.shape[0]), np.float32)
         c[0, :t] = np.asarray(mel, np.float32).T
-        if backend == "pallas":
-            from dvc_tpu.kernels.wavenet_step import pallas_generate
-            wav = pallas_generate(variables, jnp.asarray(c), seed, cfg)
-        else:
-            wav = fast_generate(variables, jnp.asarray(c), rng, cfg)
-        return np.asarray(wav[0, : t * hop])
+        return _generate(c)[0, : t * hop]
 
+    def wavegen_batch(mels: list[np.ndarray]) -> list[np.ndarray]:
+        """Vocode MANY utterances in one device pass: mels are padded to a
+        common frame bucket and run as one batch, so the kernel's aggregate
+        throughput (utterances in parallel) applies instead of its
+        single-stream rate."""
+        if not mels:
+            return []
+        ts = [m.shape[1] for m in mels]
+        bucket = -(-max(ts) // pad_frames_to) * pad_frames_to
+        c = np.zeros((len(mels), bucket, mels[0].shape[0]), np.float32)
+        for i, m in enumerate(mels):
+            c[i, :m.shape[1]] = np.asarray(m, np.float32).T
+        wavs = _generate(c)
+        return [wavs[i, : t * hop] for i, t in enumerate(ts)]
+
+    wavegen.batch = wavegen_batch  # type: ignore[attr-defined]
     return wavegen

@@ -94,6 +94,18 @@ class TestMelInversion:
         wav = voc(mel)
         assert wav.ndim == 1 and np.isfinite(wav).all()
 
+    def test_vocoder_batch_protocol(self):
+        """`.batch` vocodes variable-length mels in one device pass; each
+        output has the same length its single-call twin would have."""
+        voc = make_griffinlim_vocoder(CFG, n_iter=2)
+        rng = np.random.RandomState(1)
+        mels = [rng.rand(80, t).astype(np.float32) for t in (8, 12, 6)]
+        wavs = voc.batch(mels)
+        assert len(wavs) == 3
+        for m, w in zip(mels, wavs):
+            assert w.shape == voc(m).shape
+            assert np.isfinite(w).all()
+
 
 class TestEpochPermutationSampler:
     def test_balance_guarantee(self):
