@@ -337,6 +337,29 @@ def cmd_train_vocoder(args) -> int:
     return 0
 
 
+def cmd_vocode(args) -> int:
+    """Standalone mel -> waveform synthesis (reference
+    preprocessing/processing.py:96-131 `vocoder`/`simple_inverse` utilities)."""
+    import numpy as np
+
+    from dvc_tpu.utils.wavio import write_wav
+
+    mel = np.load(args.mel_npy)
+    assert mel.ndim == 2, f"expected (n_mels, T), got {mel.shape}"
+    if args.vocoder_ckpt:
+        from dvc_tpu.convert.vocode import make_vocoder
+        voc = make_vocoder(args.vocoder_ckpt)
+    else:
+        from dvc_tpu.config import AudioConfig
+        from dvc_tpu.convert.griffinlim import make_griffinlim_vocoder
+        voc = make_griffinlim_vocoder(AudioConfig(), n_iter=args.gl_iters)
+    wav = voc(mel)
+    out = args.out or os.path.splitext(args.mel_npy)[0] + "_vocoded.wav"
+    write_wav(out, wav, 16_000)
+    print(f"wrote {out} ({len(wav) / 16_000:.2f}s)")
+    return 0
+
+
 def cmd_eval_mcd(args) -> int:
     import numpy as np
     from dvc_tpu.eval.mcd import evaluate_mcd_wav
@@ -443,6 +466,13 @@ def main(argv=None) -> int:
     p.add_argument("--residual_channels", type=int, default=512)
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_train_vocoder)
+
+    p = sub.add_parser("vocode")
+    p.add_argument("mel_npy")
+    p.add_argument("-o", "--out", default="")
+    p.add_argument("--vocoder_ckpt", default="")
+    p.add_argument("--gl_iters", type=int, default=32)
+    p.set_defaults(fn=cmd_vocode)
 
     p = sub.add_parser("eval-mcd")
     p.add_argument("--src_dir", required=True)

@@ -172,3 +172,15 @@ class TestVocoderCli:
                            backend="scan", pad_frames_to=4)
         wav = voc(np.random.RandomState(0).rand(80, 4).astype(np.float32))
         assert np.isfinite(wav).all()
+
+
+class TestVocodeCli:
+    def test_vocode_mel_npy(self, tmp_path, capsys):
+        mel = np.random.RandomState(0).rand(80, 10).astype(np.float32)
+        fp = str(tmp_path / "m.npy")
+        np.save(fp, mel)
+        out = str(tmp_path / "m.wav")
+        assert main(["vocode", fp, "-o", out, "--gl_iters", "2"]) == 0
+        from dvc_tpu.utils.wavio import read_wav
+        wav, sr = read_wav(out)
+        assert sr == 16000 and len(wav) > 0 and np.isfinite(wav).all()
