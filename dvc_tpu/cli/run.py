@@ -211,6 +211,7 @@ def _pair_converted_to_source(src_dir: str, cvt_dir: str) -> list:
         matched to <src_dir>/<utt>.wav.
     Returns [(src_fp, cvt_fp), ...] sorted by converted path.
     """
+    import re
     from glob import glob
 
     src_fps = sorted(glob(os.path.join(src_dir, "**", "*.wav"), recursive=True))
@@ -219,12 +220,19 @@ def _pair_converted_to_source(src_dir: str, cvt_dir: str) -> list:
     pairs = []
     for fp in sorted(glob(os.path.join(cvt_dir, "**", "*.wav"), recursive=True)):
         stem = os.path.splitext(os.path.basename(fp))[0]
-        if stem.startswith("convert_"):
-            utt_id = stem.rsplit("_", 1)[-1]
-            cands = [s for stem_s, s in sorted(by_stem.items())
-                     if stem_s == utt_id or stem_s.endswith("_" + utt_id)]
-            if cands:
-                pairs.append((cands[0], fp))
+        m = re.match(r"convert_(?P<src>.+)_to_(?P<trg>.+?)_(?P<utt>[^_]+)$",
+                     stem)
+        if m:
+            src_spk, utt_id = m.group("src"), m.group("utt")
+            # prefer the exact "<src_spk>_<utt>" stem so a multi-speaker
+            # src_dir can't pair against another speaker's same-numbered
+            # utterance; fall back to suffix/equality matches
+            ranked = ([s for st, s in sorted(by_stem.items())
+                       if st == f"{src_spk}_{utt_id}"]
+                      or [s for st, s in sorted(by_stem.items())
+                          if st == utt_id or st.endswith("_" + utt_id)])
+            if ranked:
+                pairs.append((ranked[0], fp))
         else:
             src_fp = by_stem.get(stem.split("_cv")[0])
             if src_fp:

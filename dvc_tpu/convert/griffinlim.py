@@ -110,15 +110,28 @@ def _griffin_lim(mag: jax.Array, length: int, n_iter: int,
 def griffin_lim(mag: jax.Array, cfg: AudioConfig = AudioConfig(),
                 n_iter: int = 32, length: int | None = None) -> np.ndarray:
     """Phase recovery from (..., M, n_freq) |STFT| (role of librosa.griffinlim
-    at reference processing.py:139)."""
+    at reference processing.py:139).
+
+    Very short inputs (fewer frames than fft_size/hop_size) imply a
+    non-positive inferred length; the magnitude is zero-padded to the
+    minimum viable frame count and the output cropped back to m*hop samples.
+    """
     m = mag.shape[-2]
+    crop = None
+    min_m = cfg.fft_size // cfg.hop_size  # smallest m with positive length
+    if length is None and m <= min_m:
+        pad = [(0, 0)] * (mag.ndim - 2) + [(0, min_m + 1 - m), (0, 0)]
+        mag = jnp.pad(jnp.asarray(mag), pad)
+        crop = max(1, m * cfg.hop_size)
+        m = min_m + 1
     if length is None:
         # largest hop-aligned length whose lws framing yields exactly m frames
         length = (m + 1) * cfg.hop_size - cfg.fft_size
         assert num_frames(length, cfg.fft_size, cfg.hop_size) == m
     wav = _griffin_lim(jnp.asarray(mag, jnp.float32), int(length),
                        int(n_iter), cfg)
-    return np.asarray(wav)
+    out = np.asarray(wav)
+    return out[..., :crop] if crop is not None else out
 
 
 def mel_to_waveform(mel_norm: np.ndarray, cfg: AudioConfig = AudioConfig(),
@@ -126,8 +139,9 @@ def mel_to_waveform(mel_norm: np.ndarray, cfg: AudioConfig = AudioConfig(),
     """[0,1] (n_mels, T) mel -> waveform, peak-normalized to 0.95."""
     mag = mel_to_stft_magnitude(jnp.asarray(mel_norm, jnp.float32), cfg)
     wav = griffin_lim(mag, cfg, n_iter)
-    peak = np.abs(wav).max()
-    return (wav / peak * 0.95).astype(np.float32) if peak > 1e-8 else wav
+    peak = np.abs(wav).max() if wav.size else 0.0
+    return (wav / peak * 0.95).astype(np.float32) if peak > 1e-8 \
+        else wav.astype(np.float32)
 
 
 def make_griffinlim_vocoder(cfg: AudioConfig = AudioConfig(), n_iter: int = 32):
@@ -137,6 +151,13 @@ def make_griffinlim_vocoder(cfg: AudioConfig = AudioConfig(), n_iter: int = 32):
 
     def voc(mel: np.ndarray) -> np.ndarray:
         return mel_to_waveform(np.asarray(mel), cfg, n_iter)
+
+    def _single_len(t: int) -> int:
+        # the length voc(mel) would produce for a t-frame mel (including
+        # griffin_lim's short-input pad/crop rule)
+        if t <= cfg.fft_size // cfg.hop_size:
+            return max(1, t * cfg.hop_size)
+        return (t + 1) * cfg.hop_size - cfg.fft_size
 
     def voc_batch(mels: list) -> list:
         if not mels:
@@ -150,8 +171,8 @@ def make_griffinlim_vocoder(cfg: AudioConfig = AudioConfig(), n_iter: int = 32):
         wavs = griffin_lim(mag, cfg, n_iter)
         out = []
         for i, t in enumerate(ts):
-            w = wavs[i, : max(0, (t + 1) * cfg.hop_size - cfg.fft_size)]
-            peak = np.abs(w).max()
+            w = wavs[i, : min(_single_len(t), wavs.shape[-1])]
+            peak = np.abs(w).max() if w.size else 0.0
             out.append((w / peak * 0.95).astype(np.float32)
                        if peak > 1e-8 else w.astype(np.float32))
         return out

@@ -97,7 +97,9 @@ def pack_wavenet_params_cached(params: dict, cfg: VocoderConfig,
     and uploads ~50 MB to the device — done per CALL it dominates generation
     (measured 568 vs ~25k samples/s/utt); callers converting many utterances
     with the same weights must hit this cache."""
-    key = (id(params), str(dtype), quantize, id(cfg))
+    # cfg participates BY VALUE (frozen dataclass): an id() key could alias a
+    # recycled address from a garbage-collected config of different geometry
+    key = (id(params), str(dtype), quantize, cfg)
     hit = _PACK_CACHE.get(key)
     if hit is not None and hit[0] is params:
         return hit[1]

@@ -1,0 +1,38 @@
+"""Thread-safe on-demand builder for the native engine's shared objects.
+
+First use auto-compiles the .so with g++.  Preprocessing runs thread pools
+(8 IO threads per speaker; 8 analysis threads per WORLD speaker), so on a
+fresh checkout many threads can race into the first build: the compile goes
+to a unique temp path and lands with an atomic os.replace, serialized by a
+process-wide lock, so concurrent callers either wait for the build or load
+the completed file — never a half-written one.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import threading
+
+_LOCK = threading.Lock()
+
+
+def build_so(src_path: str, so_path: str, timeout: int = 240) -> bool:
+    """Compile src -> so (atomic); returns True when so_path exists."""
+    with _LOCK:
+        if os.path.exists(so_path):
+            return True
+        tmp = f"{so_path}.tmp.{os.getpid()}.{threading.get_ident()}"
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-fPIC", "-shared",
+                 "-std=c++17", "-pthread", "-o", tmp, src_path],
+                check=True, capture_output=True, timeout=timeout)
+            os.replace(tmp, so_path)
+            return True
+        except Exception:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            return False

@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 
 import numpy as np
 
@@ -19,15 +18,8 @@ _lib = None
 
 
 def _build() -> bool:
-    src = os.path.join(_DIR, "dvc_flac.cpp")
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
-             "-o", _SO, src],
-            check=True, capture_output=True, timeout=240)
-        return True
-    except Exception:
-        return False
+    from dvc_tpu.native._build import build_so
+    return build_so(os.path.join(_DIR, "dvc_flac.cpp"), _SO)
 
 
 def _load():
@@ -72,10 +64,16 @@ def read_flac(path: str) -> tuple[np.ndarray, int]:
         raise ValueError(f"{path}: not a decodable FLAC file")
     capacity = int(total.value) if total.value > 0 \
         else min(8 * len(data) + 65536, 1 << 30)
-    out = np.zeros(capacity, np.float32)
-    got = lib.dvc_flac_decode(
-        buf, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        capacity)
-    if got < 0:
-        raise ValueError(f"{path}: FLAC frame decode failed")
-    return out[:got], int(sr.value)
+    while True:
+        out = np.zeros(capacity, np.float32)
+        got = lib.dvc_flac_decode(
+            buf, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            capacity)
+        if got < 0:
+            raise ValueError(f"{path}: FLAC frame decode failed")
+        # unknown total_samples (spec-legal): a full buffer may mean the
+        # compression ratio beat the heuristic — grow and retry rather than
+        # silently truncate
+        if total.value > 0 or got < capacity or capacity >= (1 << 30):
+            return out[:got], int(sr.value)
+        capacity = min(capacity * 4, 1 << 30)

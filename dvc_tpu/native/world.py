@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 
 import numpy as np
 
@@ -22,15 +21,8 @@ _lib = None
 
 
 def _build() -> bool:
-    src = os.path.join(_DIR, "dvc_world.cpp")
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
-             "-o", _SO, src],
-            check=True, capture_output=True, timeout=240)
-        return True
-    except Exception:
-        return False
+    from dvc_tpu.native._build import build_so
+    return build_so(os.path.join(_DIR, "dvc_world.cpp"), _SO)
 
 
 def _load():

@@ -432,6 +432,12 @@ def world_decompose(wav: np.ndarray, fs: int, frame_period: float = 5.0,
                 np.asarray(mc)[:n_true])
 
     f0, timeaxis = native_world.harvest(wav, fs, frame_period)
+    # n_true (len//hop + 1, the sp/mc contract) and harvest's own frame
+    # count agree only when fs*frame_period/1000 is an integer; crop/pad f0
+    # to n_true so every feature stream stays aligned at any rate
+    if len(f0) < n_true:
+        f0 = np.pad(f0, (0, n_true - len(f0)))
+        timeaxis = np.arange(n_true) * frame_period / 1000.0
     f0 = f0[:n_true]
     padded, f0_padded = wav, f0
     if pad_to:

@@ -138,6 +138,10 @@ def wav_batches(wav_dir: str, batch_size: int, max_time_steps: int,
     wavs = []
     for fp in fps:
         w, sr = read_audio(fp)
+        if sr != audio_cfg.sample_rate:
+            from dvc_tpu.ops.audio import resample_poly
+            w = np.asarray(resample_poly(jnp.asarray(w), sr,
+                                         audio_cfg.sample_rate))
         if len(w) >= t:
             wavs.append(np.asarray(w, np.float32))
     assert wavs, f"no wav under {wav_dir} is >= {t} samples"

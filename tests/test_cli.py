@@ -184,3 +184,34 @@ class TestVocodeCli:
         from dvc_tpu.utils.wavio import read_wav
         wav, sr = read_wav(out)
         assert sr == 16000 and len(wav) > 0 and np.isfinite(wav).all()
+
+
+class TestEvalMcdPairing:
+    def test_multispeaker_src_dir_pairs_correct_speaker(self, tmp_path):
+        """convert_<src>_to_<trg>_<utt>.wav must pair against <src>_<utt>.wav
+        even when another speaker has the same utterance number."""
+        from dvc_tpu.cli.run import _pair_converted_to_source
+
+        src = tmp_path / "src"
+        for spk in ("p225", "p226"):
+            (src / spk).mkdir(parents=True)
+            write_wav(str(src / spk / f"{spk}_001.wav"),
+                      np.zeros(1000), 16000)
+        cvt = tmp_path / "cvt"
+        cvt.mkdir()
+        write_wav(str(cvt / "convert_p226_to_p225_001.wav"),
+                  np.zeros(1000), 16000)
+        pairs = _pair_converted_to_source(str(src), str(cvt))
+        assert len(pairs) == 1
+        assert os.path.basename(pairs[0][0]) == "p226_001.wav"
+
+    def test_vocode_very_short_mel(self, tmp_path):
+        """A 3-frame mel (shorter than fft/hop) must vocode, not crash."""
+        mel = np.random.RandomState(0).rand(80, 3).astype(np.float32)
+        fp = str(tmp_path / "short.npy")
+        np.save(fp, mel)
+        out = str(tmp_path / "short.wav")
+        assert main(["vocode", fp, "-o", out, "--gl_iters", "2"]) == 0
+        from dvc_tpu.utils.wavio import read_wav
+        wav, _ = read_wav(out)
+        assert len(wav) > 0 and np.isfinite(wav).all()

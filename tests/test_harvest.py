@@ -235,3 +235,18 @@ class TestPyworldGolden:
         if vo.any():
             err = np.abs(ap[:n][vo] - ref_ap[:n][vo])
             assert err.mean() < 0.15
+
+
+class TestNonIntegerHop:
+    def test_world_decompose_alignment_at_22050(self):
+        """All feature streams stay frame-aligned when fs*frame_period/1000
+        is not an integer (hop truncation vs harvest's own frame count)."""
+        from dvc_tpu.ops.world import world_decompose
+
+        fs = 22050
+        t = np.arange(fs) / fs
+        wav = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+        f0, tax, sp, ap, mc = world_decompose(wav, fs, use_native=True)
+        assert len(f0) == len(tax) == len(sp) == len(ap) == len(mc)
+        hop = int(fs * 5.0 / 1000.0)
+        assert len(f0) == len(wav) // hop + 1
