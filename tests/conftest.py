@@ -26,6 +26,11 @@ _cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+try:  # bounded cache: evict LRU entries past 4 GB
+    from dvc_tpu.utils.cache import prune_compile_cache
+    prune_compile_cache(os.path.abspath(_cache_dir))
+except Exception:
+    pass
 
 # keep CPU compile times sane: no LSTM scan unrolling in tests
 from dvc_tpu.models import layers as _layers  # noqa: E402

@@ -94,3 +94,31 @@ class TestKeySeq:
         gen = key_seq(0)
         keys = [tuple(np.asarray(next(gen)).tolist()) for _ in range(5)]
         assert len(set(keys)) == 5
+
+
+class TestCompileCachePrune:
+    def test_prunes_oldest_past_budget(self, tmp_path):
+        from dvc_tpu.utils.cache import cache_size_bytes, prune_compile_cache
+
+        d = tmp_path / "cache"
+        d.mkdir()
+        import os as _os
+        import time as _time
+        for i in range(6):
+            (d / f"e{i}.bin").write_bytes(b"x" * 1000)
+            _os.utime(d / f"e{i}.bin", (i + 1, i + 1))  # distinct atimes
+        assert cache_size_bytes(str(d)) == 6000
+        freed = prune_compile_cache(str(d), max_bytes=5000, target_bytes=3000)
+        assert freed >= 3000
+        # the oldest-accessed entries went first
+        remaining = sorted(p.name for p in d.iterdir())
+        assert "e0.bin" not in remaining and "e5.bin" in remaining
+
+    def test_noop_under_budget(self, tmp_path):
+        from dvc_tpu.utils.cache import prune_compile_cache
+
+        d = tmp_path / "cache"
+        d.mkdir()
+        (d / "a.bin").write_bytes(b"x" * 10)
+        assert prune_compile_cache(str(d), max_bytes=1000) == 0
+        assert (d / "a.bin").exists()
