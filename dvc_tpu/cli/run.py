@@ -216,6 +216,7 @@ def _pair_converted_to_source(src_dir: str, cvt_dir: str) -> list:
 
     src_fps = sorted(glob(os.path.join(src_dir, "**", "*.wav"), recursive=True))
     by_stem = {os.path.splitext(os.path.basename(fp))[0]: fp for fp in src_fps}
+    stems_sorted = sorted(by_stem.items())
 
     pairs = []
     for fp in sorted(glob(os.path.join(cvt_dir, "**", "*.wav"), recursive=True)):
@@ -227,9 +228,9 @@ def _pair_converted_to_source(src_dir: str, cvt_dir: str) -> list:
             # prefer the exact "<src_spk>_<utt>" stem so a multi-speaker
             # src_dir can't pair against another speaker's same-numbered
             # utterance; fall back to suffix/equality matches
-            ranked = ([s for st, s in sorted(by_stem.items())
+            ranked = ([s for st, s in stems_sorted
                        if st == f"{src_spk}_{utt_id}"]
-                      or [s for st, s in sorted(by_stem.items())
+                      or [s for st, s in stems_sorted
                           if st == utt_id or st.endswith("_" + utt_id)])
             if ranked:
                 pairs.append((ranked[0], fp))

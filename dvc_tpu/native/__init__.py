@@ -18,20 +18,13 @@ _SO = os.path.join(_DIR, "libdvc_dsp.so")
 _lib = None
 
 
-def _build() -> bool:
-    from dvc_tpu.native._build import build_so
-    return build_so(os.path.join(_DIR, "dvc_dsp.cpp"), _SO)
-
-
 def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO) and not _build():
-        return None
-    try:
-        lib = ctypes.CDLL(_SO)
-    except OSError:
+    from dvc_tpu.native._build import load_or_build
+    lib = load_or_build(os.path.join(_DIR, "dvc_dsp.cpp"), _SO)
+    if lib is None:
         return None
     lib.dvc_melspectrogram.restype = ctypes.c_int
     lib.dvc_melspectrogram.argtypes = [

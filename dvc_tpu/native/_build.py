@@ -17,6 +17,20 @@ import threading
 _LOCK = threading.Lock()
 
 
+def load_or_build(src_path: str, so_path: str):
+    """ctypes.CDLL for so_path, compiling it from src_path on first use;
+    None when the toolchain or load fails (callers fall back to the JAX
+    path).  Shared by the three engine binding modules."""
+    import ctypes
+
+    if not os.path.exists(so_path) and not build_so(src_path, so_path):
+        return None
+    try:
+        return ctypes.CDLL(so_path)
+    except OSError:
+        return None
+
+
 def build_so(src_path: str, so_path: str, timeout: int = 240) -> bool:
     """Compile src -> so (atomic); returns True when so_path exists."""
     with _LOCK:
