@@ -91,6 +91,14 @@ class VoiceConverter:
 
         src_fps = np.sort(glob(os.path.join(dataset_fp, src_spk, "*.npy")))
         trg_fps = glob(os.path.join(dataset_fp, trg_spk, "*.npy"))
+        if len(src_fps) == 0:
+            raise FileNotFoundError(
+                f"no mel .npy files for source speaker {src_spk!r} under "
+                f"{dataset_fp} — run `preprocess` first or check the name")
+        if len(trg_fps) == 0:
+            raise FileNotFoundError(
+                f"no mel .npy files for target speaker {trg_spk!r} under "
+                f"{dataset_fp}")
         results = []
         for i in range(min(num_utterances, len(src_fps))):
             source_mel = np.load(src_fps[i])

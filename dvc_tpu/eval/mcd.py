@@ -85,14 +85,27 @@ def mcd_from_mcc(src_mcc: np.ndarray, trg_mcc: np.ndarray,
 def evaluate_mcd_wav(src_wavs: list[np.ndarray], trg_wavs: list[np.ndarray],
                      fs: int = 16_000) -> list[float]:
     """Waveform-level MCD list (reference evaluate_mcd_wav :54-98): extract
-    f0 + MCC with the WORLD-equivalent analysis chain (ops/world.py) per wav
-    pair and compute per-utterance MCD."""
+    f0 + MCC with the WORLD analysis chain (ops/world.py) per wav pair and
+    compute per-utterance MCD.  Analysis runs on a thread pool (the native
+    Harvest/D4C stages release the GIL); the DTW stays serial per pair."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from dvc_tpu.ops.world import world_encode_data
 
+    def analyze(wav):
+        f0, _, _, _, mc = world_encode_data(wav, fs)
+        return f0, mc
+
+    wavs = list(src_wavs) + list(trg_wavs)
+    workers = min(8, max(1, len(wavs)))
+    if workers > 1:
+        with ThreadPoolExecutor(workers) as pool:
+            feats = list(pool.map(analyze, wavs))
+    else:
+        feats = [analyze(w) for w in wavs]
+    n = len(src_wavs)
     out = []
-    for src, trg in zip(src_wavs, trg_wavs):
-        f0_s, _, _, _, mc_s = world_encode_data(src, fs)
-        f0_t, _, _, _, mc_t = world_encode_data(trg, fs)
+    for (f0_s, mc_s), (f0_t, mc_t) in zip(feats[:n], feats[n:]):
         out.append(mcd_from_mcc(mc_s, mc_t, f0_s, f0_t))
     return out
 
