@@ -28,21 +28,29 @@ import numpy as np
 def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
     """Run `iterator` in a background thread, buffering `depth` items, so
     host-side batch assembly overlaps device execution (the role of the
-    torch DataLoader workers the reference relies on — train.py:55)."""
+    torch DataLoader workers the reference relies on — train.py:55).
+
+    Exceptions from the wrapped iterator re-raise in the CONSUMER — a
+    worker-thread error must fail the training loop, not silently end the
+    epoch early."""
     q: queue.Queue = queue.Queue(maxsize=depth)
     done = object()
 
     def worker():
         try:
             for item in iterator:
-                q.put(item)
-        finally:
-            q.put(done)
+                q.put((None, item))
+        except BaseException as e:  # noqa: BLE001 — forwarded to consumer
+            q.put((e, None))
+            return
+        q.put((None, done))
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
     while True:
-        item = q.get()
+        err, item = q.get()
+        if err is not None:
+            raise err
         if item is done:
             return
         yield item

@@ -121,7 +121,16 @@ class AutoVC(nn.Module):
         parts = [code_exp, jnp.broadcast_to(c_trg[:, None, :], (b, t, c_trg.shape[-1]))]
         if self.f0_dims:
             assert f0 is not None
-            parts.append(jnp.broadcast_to(f0[:, None, :], (b, t, self.f0_dims)))
+            # reference contract (original_autovc.py:281): a PER-UTTERANCE
+            # (B, f0_dims) vector broadcast over all frames
+            # (`f_0.unsqueeze(1).expand(-1, T, -1)` — constant in time by the
+            # reference's own design).  Per-frame (B, T, f0_dims) pitch
+            # features (e.g. ops/pitch.quantized_pitch_onehot) are accepted
+            # as an extension and passed through unmodified.
+            if f0.ndim == 2:
+                f0 = jnp.broadcast_to(f0[:, None, :], (b, t, self.f0_dims))
+            assert f0.shape == (b, t, self.f0_dims), f0.shape
+            parts.append(f0)
         dec_in = jnp.concatenate(parts, axis=-1)
         mel = self.decoder(dec_in, train)
         mel_post = mel + self.postnet(mel, train)

@@ -128,12 +128,12 @@ class BatchNorm(nn.Module):
     def __call__(self, x: jax.Array, use_running_average: bool | None = None) -> jax.Array:
         ura = nn.merge_param("use_running_average", self.use_running_average,
                              use_running_average)
-        if self.groups <= 1:
-            return nn.BatchNorm(use_running_average=ura, momentum=self.momentum,
-                                epsilon=self.epsilon, dtype=self.dtype,
-                                name="bn")(x)
+        # groups=1 also routes through _GroupedBN: flax's nn.BatchNorm tracks
+        # the BIASED batch variance in running stats while torch (and the
+        # grouped path) track the UNBIASED one — one implementation keeps
+        # pair_fused on/off checkpoints and torch parity consistent
         return _GroupedBN(momentum=self.momentum, epsilon=self.epsilon,
-                          groups=self.groups, name="bn")(x, ura)
+                          groups=max(1, self.groups), name="bn")(x, ura)
 
 
 class _GroupedBN(nn.Module):

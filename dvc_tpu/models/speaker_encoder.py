@@ -49,12 +49,15 @@ class SpeakerEncoder(nn.Module):
     def similarity_matrix(self, embeds: jax.Array) -> jax.Array:
         """(S, U, E) -> (S, U, S) GE2E similarities (encoder/model.py:63-105)."""
         s, u, _ = embeds.shape
+        # centroid norms floored at 1e-12 (robustness addition: the reference
+        # divides by the raw norm at encoder/model.py:76,81, so an all-zero
+        # centroid — ReLU-dead embeddings early in training — NaNs the run)
         centroids_incl = jnp.mean(embeds, axis=1, keepdims=True)  # (S,1,E)
-        centroids_incl = centroids_incl / jnp.linalg.norm(
-            centroids_incl, axis=2, keepdims=True)
+        centroids_incl = centroids_incl / jnp.maximum(jnp.linalg.norm(
+            centroids_incl, axis=2, keepdims=True), 1e-12)
         centroids_excl = (jnp.sum(embeds, axis=1, keepdims=True) - embeds) / (u - 1)
-        centroids_excl = centroids_excl / jnp.linalg.norm(
-            centroids_excl, axis=2, keepdims=True)
+        centroids_excl = centroids_excl / jnp.maximum(jnp.linalg.norm(
+            centroids_excl, axis=2, keepdims=True), 1e-12)
 
         # off-diagonal: embed[s,u] . centroid_incl[j];  diagonal: . centroid_excl[s,u]
         sim_incl = jnp.einsum("sue,je->suj", embeds, centroids_incl[:, 0, :],

@@ -25,7 +25,8 @@ from dvc_tpu.models.speaker_encoder import SpeakerEncoder
 def compute_partial_slices(n_samples: int, partial_utterance_n_frames: int = 63,
                            min_pad_coverage: float = 0.75, overlap: float = 0.5,
                            sampling_rate: int = 16_000,
-                           mel_window_step_ms: int = 10
+                           mel_window_step_ms: int = 10,
+                           samples_per_frame: int | None = None
                            ) -> tuple[list[slice], list[slice]]:
     """Sliding-window partial slices over an utterance.
 
@@ -33,11 +34,18 @@ def compute_partial_slices(n_samples: int, partial_utterance_n_frames: int = 63,
     reference encoder/inference.py:59-108 (50%-overlap windows; a short tail
     window is kept only when it covers >= min_pad_coverage of a full one);
     computed here vectorized over all window starts at once.
+
+    samples_per_frame overrides the ms-derived hop: the reference's encoder
+    mels use a 10 ms step (160 samples), but THIS framework has one mel
+    config for everything (AudioConfig.hop_size = 256) — callers slicing
+    framework mels must pass that hop or the mel slices run past the frame
+    count.
     """
     assert 0 <= overlap < 1
     assert 0 < min_pad_coverage <= 1
 
-    samples_per_frame = int(sampling_rate * mel_window_step_ms / 1000)
+    if samples_per_frame is None:
+        samples_per_frame = int(sampling_rate * mel_window_step_ms / 1000)
     n_frames = int(np.ceil((n_samples + 1) / samples_per_frame))
     frame_step = max(int(np.round(partial_utterance_n_frames * (1 - overlap))), 1)
 
@@ -92,7 +100,8 @@ class SpeakerEmbedder:
 
         wave_slices, mel_slices = compute_partial_slices(
             len(wav), self.cfg.partials_n_frames,
-            sampling_rate=self.audio_cfg.sample_rate)
+            sampling_rate=self.audio_cfg.sample_rate,
+            samples_per_frame=self.audio_cfg.hop_size)
         max_wave_length = wave_slices[-1].stop
         if max_wave_length >= len(wav):
             wav = np.pad(wav, (0, max_wave_length - len(wav)))

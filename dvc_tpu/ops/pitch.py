@@ -19,8 +19,11 @@ from dvc_tpu.ops.world import estimate_f0
 
 def estimate_pitch(segment: jax.Array, sr: int = 16_000,
                    fmin: float = 50.0, fmax: float = 2000.0) -> jax.Array:
-    """Quantized pitch contour (reference utils.py:183-192): F0 -> min-max
-    normalize -> ceil(x * 256)."""
+    """Quantized pitch contour (reference utils.py:183-192): F0 shifted by
+    its min, then divided by its MAX — the reference's exact formula
+    ((f0-min)/max, NOT true min-max (f0-min)/(max-min); for fully voiced
+    segments the values compress below 1 — a reference quirk reproduced) —
+    and scaled to ceil(x * 256)."""
     f0, _ = estimate_f0(jnp.asarray(segment, jnp.float32), sr)
     f0_min = jnp.min(f0)
     f0_max = jnp.maximum(jnp.max(f0), 1e-6)

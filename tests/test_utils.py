@@ -122,3 +122,39 @@ class TestCompileCachePrune:
         (d / "a.bin").write_bytes(b"x" * 10)
         assert prune_compile_cache(str(d), max_bytes=1000) == 0
         assert (d / "a.bin").exists()
+
+
+class TestPrefetchErrors:
+    def test_exception_propagates_to_consumer(self):
+        from dvc_tpu.data.dataset import prefetch
+
+        def bad():
+            yield 1
+            raise RuntimeError("corrupt file")
+
+        it = prefetch(iter(bad()))
+        assert next(it) == 1
+        with pytest.raises(RuntimeError, match="corrupt file"):
+            list(it)
+
+
+class TestEmbedLongUtterance:
+    def test_embed_utterance_over_one_second(self):
+        """Partial slices must use the framework's hop (256), not the
+        reference encoder's 10 ms step — a >1.2 s wav used to crash."""
+        import jax
+
+        from dvc_tpu.config import SpeakerEncoderConfig
+        from dvc_tpu.models.speaker_inference import SpeakerEmbedder
+
+        cfg = SpeakerEncoderConfig(hidden_size=16, embedding_size=16,
+                                   num_layers=1)
+        emb = SpeakerEmbedder(cfg)
+        params = emb.model.init(jax.random.PRNGKey(0),
+                                np.zeros((1, 63, 80), np.float32))["params"]
+        emb.load(params)
+        wav = (0.3 * np.sin(2 * np.pi * 200 * np.arange(32000) / 16000)
+               ).astype(np.float32)  # 2 s
+        e = emb.embed_utterance(wav)
+        assert e.shape == (16,)
+        assert abs(float(np.linalg.norm(e)) - 1.0) < 1e-4
