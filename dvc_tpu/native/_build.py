@@ -23,7 +23,7 @@ def load_or_build(src_path: str, so_path: str):
     path).  Shared by the three engine binding modules."""
     import ctypes
 
-    if not os.path.exists(so_path) and not build_so(src_path, so_path):
+    if _stale(src_path, so_path) and not build_so(src_path, so_path):
         return None
     try:
         return ctypes.CDLL(so_path)
@@ -31,10 +31,20 @@ def load_or_build(src_path: str, so_path: str):
         return None
 
 
+def _stale(src_path: str, so_path: str) -> bool:
+    """True when the .so is missing or older than its source (a stale
+    binary after a source update would load with a mismatched ABI)."""
+    try:
+        return os.path.getmtime(so_path) < os.path.getmtime(src_path)
+    except OSError:
+        return True
+
+
 def build_so(src_path: str, so_path: str, timeout: int = 240) -> bool:
-    """Compile src -> so (atomic); returns True when so_path exists."""
+    """Compile src -> so (atomic); returns True when so_path exists and is
+    up to date with its source."""
     with _LOCK:
-        if os.path.exists(so_path):
+        if not _stale(src_path, so_path):
             return True
         tmp = f"{so_path}.tmp.{os.getpid()}.{threading.get_ident()}"
         try:

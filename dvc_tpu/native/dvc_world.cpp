@@ -27,10 +27,15 @@
 // sorted, aperiodicity = power outside the top coefficients -> dB
 // interpolation over the coarse axis to the full spectral grid.
 //
-// NOT implemented (documented deviations from pyworld): D4C's LoveTrain
-// voicing override (voicing comes from Harvest's contour instead) and
-// Harvest's optional multithreading.  Exact WORLD bit-parity requires golden
-// vectors recorded where pyworld exists — see tools/gen_world_golden.py.
+// D4C additionally applies the LoveTrain voicing override (Morise 2016
+// §2.2 / pyworld's `threshold` option, default 0.85): per voiced frame the
+// ratio of windowed signal power in [0.1, 4] kHz to that in [0.1, 7.9] kHz
+// is computed, and frames below the threshold are forced fully aperiodic
+// (treated as unvoiced by the synthesizer).
+//
+// NOT implemented (documented deviations from pyworld): Harvest's optional
+// multithreading.  Exact WORLD bit-parity requires golden vectors recorded
+// where pyworld exists — see tools/gen_world_golden.py.
 //
 // Build: g++ -O3 -shared -fPIC (no dependencies); bound via ctypes in
 // dvc_tpu/native/world.py.
@@ -283,6 +288,41 @@ void zero_phase_lpf(std::vector<double>& seg, double fc) {
   std::reverse(seg.begin(), seg.end());
   run(seg);
   std::reverse(seg.begin(), seg.end());
+}
+
+// ------------------------------------------------- D4C LoveTrain ----------
+// Low-band power-ratio voicing check (Morise 2016 §2.2; pyworld `threshold`
+// option).  Windowed power ratio [0.1,4] kHz / [0.1,7.9] kHz around one
+// frame; frames scoring at or below the threshold are forced fully
+// aperiodic by the caller.
+double love_train_frame(const float* x, long n, int fs, double f0v,
+                        double tpos, int fft_lt, int b0, int b1, int b2) {
+  int half = static_cast<int>(1.5 * fs / f0v + 0.5);
+  int wlen = 2 * half + 1;
+  if (wlen > fft_lt) return 0.0;  // f0 below the analysis floor: no verdict
+  long c = static_cast<long>(tpos * fs + 0.5);
+  std::vector<double> re(fft_lt, 0.0), im(fft_lt, 0.0), w(wlen);
+  double wsum = 0.0, dsum = 0.0;
+  for (int i = 0; i < wlen; ++i) {
+    w[i] = blackman(static_cast<double>(i) / (wlen - 1));
+    long j = c - half + i;
+    double v = (j >= 0 && j < n) ? x[j] : 0.0;
+    re[i] = v * w[i];
+    dsum += re[i];
+    wsum += w[i];
+  }
+  // window-weighted DC removal so the excluded <100 Hz region does not leak
+  double dc = dsum / std::max(wsum, kEps);
+  for (int i = 0; i < wlen; ++i) re[i] -= dc * w[i];
+  fft_inplace(re.data(), im.data(), fft_lt);
+  int n_half = fft_lt / 2;
+  double low = 0.0, full = 0.0;
+  for (int k = b0 + 1; k <= std::min(b2, n_half); ++k) {
+    double p = re[k] * re[k] + im[k] * im[k];
+    if (k <= b1) low += p;
+    full += p;
+  }
+  return low / std::max(full, kEps);
 }
 
 }  // namespace
@@ -574,9 +614,11 @@ int dvc_harvest(const float* x, long n, int fs, double frame_period_ms,
 
 // D4C band aperiodicity.  ap_out must hold n_frames * (fft_size_out/2 + 1)
 // doubles ((frame, bin) row-major, like pyworld.d4c's output grid).
-// Returns 0, -1 on error.
+// `threshold` is the LoveTrain voicing cutoff (pyworld default 0.85; pass
+// <= 0 to disable the override).  Returns 0, -1 on error.
 int dvc_d4c(const float* x, long n, int fs, const double* f0, int n_frames,
-            double frame_period_ms, int fft_size_out, double* ap_out) {
+            double frame_period_ms, int fft_size_out, double threshold,
+            double* ap_out) {
   if (!x || !f0 || !ap_out || n <= 0 || n_frames <= 0) return -1;
   const double floor_f0 = 47.0;
   const double freq_interval = 3000.0;
@@ -629,14 +671,26 @@ int dvc_d4c(const float* x, long n, int fs, const double* f0, int n_frames,
     }
   };
 
+  // LoveTrain analysis geometry (lowest analyzable pitch 40 Hz)
+  const double lowest_f0 = 40.0;
+  const int fft_lt = next_pow2(static_cast<long>(3.0 * fs / lowest_f0 + 1.0));
+  const int lt_b0 = static_cast<int>(std::ceil(100.0 * fft_lt / fs));
+  const int lt_b1 = static_cast<int>(std::ceil(4000.0 * fft_lt / fs));
+  const int lt_b2 = static_cast<int>(std::ceil(7900.0 * fft_lt / fs));
+
   for (int fr = 0; fr < n_frames; ++fr) {
     double* row = ap_out + static_cast<size_t>(fr) * n_out;
     double cf0 = f0[fr];
+    double tpos = fr * frame_period_ms / 1000.0;
+    if (cf0 > 0.0 && threshold > 0.0) {
+      double ap0 = love_train_frame(x, n, fs, std::max(cf0, lowest_f0), tpos,
+                                    fft_lt, lt_b0, lt_b1, lt_b2);
+      if (ap0 <= threshold) cf0 = 0.0;  // override: treat as unvoiced
+    }
     if (cf0 <= 0.0 || cf0 < floor_f0) {
       for (int k = 0; k < n_out; ++k) row[k] = 1.0 - 1e-12;
       continue;
     }
-    double tpos = fr * frame_period_ms / 1000.0;
     double t0s = fs / cf0;  // period in samples
 
     // ---- static centroid: Blackman 4*T0 windows at +-T0/4 -----------------

@@ -40,7 +40,7 @@ def _load():
     lib.dvc_d4c.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_int,
         ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_double,
-        ctypes.c_int, ctypes.POINTER(ctypes.c_double)]
+        ctypes.c_int, ctypes.c_double, ctypes.POINTER(ctypes.c_double)]
     _lib = lib
     return lib
 
@@ -69,10 +69,12 @@ def harvest(wav: np.ndarray, fs: int, frame_period: float = 5.0,
 
 
 def d4c(wav: np.ndarray, f0: np.ndarray, fs: int, frame_period: float = 5.0,
-        fft_size: int | None = None) -> np.ndarray:
+        fft_size: int | None = None, threshold: float = 0.85) -> np.ndarray:
     """Band aperiodicity (N, fft_size//2+1) on the CheapTrick spectral grid
-    (pyworld.d4c contract; D4C's LoveTrain voicing override is not applied —
-    voicing comes from the f0 contour)."""
+    (pyworld.d4c contract).  `threshold` is the LoveTrain voicing cutoff
+    (pyworld's D4COption.threshold, default 0.85): voiced frames whose
+    0.1-4 kHz share of 0.1-7.9 kHz power is at or below it are forced fully
+    aperiodic.  Pass threshold=0 to disable the override."""
     lib = _load()
     assert lib is not None, "native WORLD library unavailable"
     if fft_size is None:
@@ -84,7 +86,7 @@ def d4c(wav: np.ndarray, f0: np.ndarray, fs: int, frame_period: float = 5.0,
     got = lib.dvc_d4c(
         wav.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(wav), fs,
         f0.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n_frames,
-        frame_period, fft_size,
+        frame_period, fft_size, threshold,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
     assert got == 0, f"native d4c failed ({got})"
     return out

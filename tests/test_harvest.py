@@ -145,7 +145,10 @@ class TestD4C:
         rng = np.random.RandomState(0)
         wav = (0.3 * rng.randn(FS)).astype(np.float32)
         f0 = np.full(FS // 80 + 1, 200.0)  # force "voiced" to probe the band
-        ap = native_world.d4c(wav, f0, FS)
+        # threshold=0 disables the LoveTrain override, which would otherwise
+        # (correctly) mark these noise frames fully aperiodic before the
+        # band estimator runs
+        ap = native_world.d4c(wav, f0, FS, threshold=0.0)
         bin3k = int(3000 / (FS / 1024))
         assert ap[:, bin3k].mean() > 0.5
 
@@ -161,6 +164,43 @@ class TestD4C:
         ap = native_world.d4c(wav, f0, FS)
         assert np.isfinite(ap).all()
         assert (ap > 0).all() and (ap < 1.0).all()
+
+
+class TestD4CLoveTrain:
+    """LoveTrain voicing override (Morise 2016 §2.2; pyworld
+    D4COption.threshold, default 0.85): voiced frames whose 0.1-4 kHz power
+    share of 0.1-7.9 kHz falls at or below the threshold become fully
+    aperiodic."""
+
+    def test_harmonic_tone_survives(self):
+        # real voiced content: power concentrated well below 4 kHz
+        wav, _ = _pulse_train(200.0)
+        f0, _ = native_world.harvest(wav, FS)
+        ap = native_world.d4c(wav, f0, FS)
+        vo = f0 > 0
+        bin1k = int(1000 / (FS / 1024))
+        assert ap[vo][:, bin1k].mean() < 0.3  # override did NOT fire
+
+    def test_high_band_energy_forced_unvoiced(self):
+        # all energy above 4 kHz with a fabricated voiced contour: the
+        # low-band power ratio is ~0, so every frame must come back fully
+        # aperiodic despite f0 > 0
+        t = np.arange(FS) / FS
+        wav = (0.4 * np.sin(2 * np.pi * 6000.0 * t)).astype(np.float32)
+        f0 = np.full(FS // 80 + 1, 200.0)
+        ap = native_world.d4c(wav, f0, FS)
+        assert np.allclose(ap, 1.0, atol=1e-6)
+        # and disabling the override restores the raw band estimate
+        ap_off = native_world.d4c(wav, f0, FS, threshold=0.0)
+        assert ap_off.min() < 0.9
+
+    def test_noise_forced_unvoiced(self):
+        # broadband noise: low/full power ratio ~0.5 < 0.85
+        rng = np.random.RandomState(1)
+        wav = (0.3 * rng.randn(FS)).astype(np.float32)
+        f0 = np.full(FS // 80 + 1, 200.0)
+        ap = native_world.d4c(wav, f0, FS)
+        assert np.allclose(ap, 1.0, atol=1e-6)
 
 
 class TestWorldDecomposeNative:
