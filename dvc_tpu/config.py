@@ -39,10 +39,13 @@ class AudioConfig:
     # sqrt(hann), which "sqrt_hann" reproduces.
     window: str = "sqrt_hann"
 
-    # VAD (preprocessing/encoder/params_data.py:17-24)
+    # VAD (preprocessing/encoder/params_data.py:17-24; detector role of
+    # webrtcvad.Vad(mode=3) at encoder/audio.py:97)
     vad_window_length_ms: int = 30
     vad_moving_average_width: int = 8
     vad_max_silence_length: int = 6
+    vad_detector: str = "gmm"  # "gmm" (WebRTC-architecture) | "energy"
+    vad_mode: int = 3          # webrtcvad aggressiveness 0..3
     audio_norm_target_dbfs: float = -30.0
 
     # Partial-utterance windows for the speaker encoder

@@ -130,9 +130,13 @@ def preprocess_wav_host(path: str, cfg: AudioConfig = AudioConfig(),
     wav = np.asarray(normalize_volume(jnp.asarray(wav), cfg.audio_norm_target_dbfs,
                                       increase_only=True))
     if trim:
-        wav = trim_long_silences(wav, cfg.sample_rate, cfg.vad_window_length_ms,
-                                 moving_average_width=cfg.vad_moving_average_width,
-                                 max_silence_length=cfg.vad_max_silence_length)
+        kw = dict(moving_average_width=cfg.vad_moving_average_width,
+                  max_silence_length=cfg.vad_max_silence_length,
+                  detector=cfg.vad_detector)
+        if cfg.vad_detector == "gmm":
+            kw["mode"] = cfg.vad_mode
+        wav = trim_long_silences(wav, cfg.sample_rate,
+                                 cfg.vad_window_length_ms, **kw)
     return wav
 
 

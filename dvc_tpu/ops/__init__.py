@@ -21,6 +21,7 @@ from dvc_tpu.ops.audio import (  # noqa: F401
     rescale_wav,
     resample_poly,
     energy_vad_mask,
+    gmm_vad_mask,
     trim_long_silences,
     mulaw,
     inv_mulaw,

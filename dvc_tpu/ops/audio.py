@@ -4,9 +4,24 @@ Replaces the native-backed audio path of the reference
 (preprocessing/encoder/audio.py: librosa load/resample, webrtcvad silence
 trimming, volume normalization) with batched JAX ops.  The reference's
 canonical preprocessing runs with ``--no_trim`` (preprocessing.sh:1), so VAD
-is optional; the energy-VAD here reproduces the smoothing + dilation
-post-processing of trim_long_silences (encoder/audio.py:78-118) around an
-energy detector instead of WebRTC's GMM (the C++ webrtcvad dependency).
+is optional.  Two detectors feed the reference's exact smoothing + dilation
+post-processing chain (trim_long_silences, encoder/audio.py:78-118):
+
+  * gmm_vad_mask (default) — an adaptive dual-GMM detector with WebRTC
+    VAD's architecture (the C++ webrtcvad dependency, encoder/audio.py:97):
+    six sub-band log energies (80-250-500-1k-2k-3k-4k Hz), per-band
+    two-component noise and speech Gaussian mixtures, likelihood-ratio
+    hypothesis test with per-mode aggressiveness thresholds, minimum-
+    statistics noise tracking, online mean adaptation, and hangover
+    smoothing — expressed as one `lax.scan` over frames so it jits and
+    vmaps.  Deviations from webrtcvad (documented, not bit-parity): band
+    energies come from an rFFT band matrix rather than the fixed-point
+    allpass QMF cascade, arithmetic is float, and the mixture constants are
+    this repo's own (the trained WebRTC tables are not public-domain
+    numbers we can reproduce blind); the adaptive structure makes the
+    steady-state behavior track the signal rather than the init.
+  * energy_vad_mask — windowed RMS vs a fixed threshold (round-1 detector,
+    kept for cheap batch use and as the native-engine parity path).
 """
 
 from __future__ import annotations
@@ -124,13 +139,140 @@ def energy_vad_mask(wav: jax.Array, sample_rate: int = 16_000,
     return _binary_dilation(mask, max_silence_length + 1)
 
 
+# --- GMM VAD (WebRTC-architecture detector) ----------------------------------
+
+_VAD_BANDS_HZ = ((80, 250), (250, 500), (500, 1000),
+                 (1000, 2000), (2000, 3000), (3000, 4000))
+_N_BANDS = len(_VAD_BANDS_HZ)
+# per-channel weights of the combined log-likelihood ratio (low bands carry
+# most voicing evidence, as in WebRTC's channel weighting)
+_VAD_CHANNEL_W = np.array([0.25, 0.2, 0.2, 0.15, 0.1, 0.1], np.float32)
+# aggressiveness modes 0..3 (webrtcvad.Vad(mode)): (total-LLR threshold,
+# single-channel override threshold, hangover frames).  Mode 3 — the
+# reference's setting (encoder/audio.py:97) — demands the strongest evidence
+# and releases fastest.
+_VAD_MODES = ((0.6, 2.0, 8), (0.9, 2.6, 6), (1.2, 3.2, 5), (1.6, 4.0, 4))
+
+
+def _vad_band_matrix(spw: int, sample_rate: int) -> np.ndarray:
+    """(spw//2+1, 6) 0/1 matrix summing rFFT power bins into the six
+    WebRTC sub-bands."""
+    freqs = np.fft.rfftfreq(spw, 1.0 / sample_rate)
+    m = np.zeros((len(freqs), _N_BANDS), np.float32)
+    for b, (lo, hi) in enumerate(_VAD_BANDS_HZ):
+        m[(freqs >= lo) & (freqs < hi), b] = 1.0
+    return m
+
+
+def _gmm_init(n_bands: int = _N_BANDS):
+    """Initial mixture state; adaptation owns the steady state, so the init
+    only needs the right ordering (noise below speech) and plausible scale
+    for [-1, 1] float audio in dBFS-per-band terms."""
+    mk = lambda v: jnp.tile(jnp.asarray(v, jnp.float32)[None, :], (n_bands, 1))
+    return {
+        "noise_mean": mk([-72.0, -55.0]),   # (bands, 2 components)
+        "noise_std": mk([8.0, 8.0]),
+        "speech_mean": mk([-38.0, -22.0]),
+        "speech_std": mk([9.0, 9.0]),
+        "feat_min": jnp.full((n_bands,), 30.0, jnp.float32),  # running minimum
+        "over_hang": jnp.zeros((), jnp.int32),
+    }
+
+
+def gmm_vad_mask(wav: jax.Array, sample_rate: int = 16_000,
+                 window_ms: int = 30, mode: int = 3,
+                 moving_average_width: int = 8,
+                 max_silence_length: int = 6) -> jax.Array:
+    """Per-window voiced mask from the adaptive dual-GMM detector.
+
+    Architecture of WebRTC VAD (role of webrtcvad.Vad(mode).is_speech at
+    encoder/audio.py:95-101), float/scan reformulation — see the module
+    docstring for the exact deviations.  Post-processing (moving average,
+    rounding, binary dilation) matches encoder/audio.py:104-116, identical
+    to energy_vad_mask's chain.
+    """
+    t_total, t_local, hang_max = _VAD_MODES[mode]
+    spw = (window_ms * sample_rate) // 1000
+    t = (wav.shape[-1] // spw) * spw
+    frames = wav[:t].reshape(-1, spw)
+    band_m = jnp.asarray(_vad_band_matrix(spw, sample_rate))
+    power = jnp.abs(jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)) ** 2
+    # Parseval: mean x^2 over the frame ~= 2/N^2 * sum |X_k|^2, so this is
+    # each band's share of the frame power in dBFS.
+    feats = 10.0 * jnp.log10(2.0 * (power @ band_m) / spw**2 + 1e-12)
+
+    chan_w = jnp.asarray(_VAD_CHANNEL_W)
+    inv_sqrt2pi = 1.0 / np.sqrt(2.0 * np.pi)
+
+    def mixture(x, mean, std):
+        # x (bands,), mean/std (bands, 2) -> density (bands,), resp (bands, 2)
+        z = (x[:, None] - mean) / std
+        comp = inv_sqrt2pi / std * jnp.exp(-0.5 * z * z)  # equal 1/2 weights
+        dens = 0.5 * jnp.sum(comp, axis=1)
+        resp = comp / (jnp.sum(comp, axis=1, keepdims=True) + 1e-30)
+        return dens, resp
+
+    def step(state, x):
+        p_n, r_n = mixture(x, state["noise_mean"], state["noise_std"])
+        p_s, r_s = mixture(x, state["speech_mean"], state["speech_std"])
+        llr = jnp.log((p_s + 1e-30) / (p_n + 1e-30))
+        total = jnp.sum(chan_w * llr)
+        raw = (total > t_total) | jnp.any(llr > t_local)
+
+        # -- minimum statistics: tracks the noise floor per band.  The floor
+        # rises slowly (so pauses re-anchor it) and snaps down instantly.
+        feat_min = jnp.minimum(x, state["feat_min"] + 0.08)
+
+        # -- noise model: adapt toward the frame only when no speech was
+        # detected, and always leak slowly toward the tracked minimum so a
+        # loud stationary floor gets absorbed even mid-speech.
+        lr_n = jnp.where(raw, 0.0, 0.02)
+        noise_mean = state["noise_mean"] + lr_n * r_n * (
+            x[:, None] - state["noise_mean"])
+        noise_mean = noise_mean + 0.003 * (feat_min[:, None] - noise_mean)
+
+        # -- speech model: adapt only on speech frames, per-channel where the
+        # evidence is positive.
+        lr_s = jnp.where(raw, 0.02, 0.0) * (llr > 0.0)[:, None]
+        speech_mean = state["speech_mean"] + lr_s * r_s * (
+            x[:, None] - state["speech_mean"])
+
+        # -- keep the hypotheses separated: speech means stay at least 6 dB
+        # above the noise mean of their band (WebRTC's mean-separation
+        # maintenance step).
+        floor = jnp.max(noise_mean, axis=1, keepdims=True) + 6.0
+        speech_mean = jnp.maximum(speech_mean, floor)
+
+        # -- hangover: hold the voiced decision for hang_max frames past the
+        # last raw detection.
+        over_hang = jnp.where(raw, hang_max, jnp.maximum(
+            state["over_hang"] - 1, 0))
+        flag = raw | (state["over_hang"] > 0)
+
+        new_state = {"noise_mean": noise_mean, "noise_std": state["noise_std"],
+                     "speech_mean": speech_mean,
+                     "speech_std": state["speech_std"],
+                     "feat_min": feat_min, "over_hang": over_hang}
+        return new_state, flag
+
+    _, flags = jax.lax.scan(step, _gmm_init(), feats)
+    smoothed = _moving_average(flags.astype(jnp.float32), moving_average_width)
+    mask = jnp.round(smoothed).astype(bool)
+    return _binary_dilation(mask, max_silence_length + 1)
+
+
 def trim_long_silences(wav: np.ndarray, sample_rate: int = 16_000,
-                       window_ms: int = 30, **kw) -> np.ndarray:
-    """Host-side gather of voiced samples (dynamic output shape -> numpy)."""
+                       window_ms: int = 30, detector: str = "gmm",
+                       **kw) -> np.ndarray:
+    """Host-side gather of voiced samples (dynamic output shape -> numpy).
+
+    detector: "gmm" (WebRTC-architecture adaptive detector, the reference's
+    webrtcvad role) or "energy" (fixed-threshold RMS)."""
     spw = (window_ms * sample_rate) // 1000
     t = (len(wav) // spw) * spw
     wav = wav[:t]
-    mask = np.asarray(energy_vad_mask(jnp.asarray(wav), sample_rate, window_ms, **kw))
+    detect = {"gmm": gmm_vad_mask, "energy": energy_vad_mask}[detector]
+    mask = np.asarray(detect(jnp.asarray(wav), sample_rate, window_ms, **kw))
     sample_mask = np.repeat(mask, spw)
     return wav[sample_mask]
 

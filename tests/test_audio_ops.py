@@ -6,6 +6,7 @@ import pytest
 
 from dvc_tpu.ops.audio import (
     energy_vad_mask,
+    gmm_vad_mask,
     inv_mulaw,
     mulaw,
     normalize_volume,
@@ -13,6 +14,18 @@ from dvc_tpu.ops.audio import (
     rescale_wav,
     trim_long_silences,
 )
+
+
+def _speechlike(sr: int, seconds: float, f0: float = 140.0,
+                seed: int = 0) -> np.ndarray:
+    """Harmonic-rich signal with syllabic (4 Hz) amplitude modulation —
+    enough structure for the low-band GMM channels to treat as speech."""
+    rng = np.random.RandomState(seed)
+    t = np.arange(int(sr * seconds)) / sr
+    w = sum(a * np.sin(2 * np.pi * f0 * k * t + rng.rand() * 6.28)
+            for k, a in ((1, 0.5), (2, 0.3), (3, 0.2), (4, 0.1)))
+    am = 0.55 + 0.45 * np.sin(2 * np.pi * 4.0 * t)
+    return (w * am).astype(np.float32)
 
 
 class TestVolume:
@@ -84,4 +97,64 @@ class TestVAD:
                 ).astype(np.float32)
         wav = np.concatenate([sil, tone, sil])
         trimmed = trim_long_silences(wav, sr)
+        assert 0 < len(trimmed) < len(wav)
+
+
+class TestGmmVAD:
+    """WebRTC-architecture adaptive dual-GMM detector (gmm_vad_mask)."""
+
+    SR = 16000
+
+    def test_speech_in_silence(self):
+        sil = np.zeros(self.SR, np.float32)
+        speech = _speechlike(self.SR, 1.0)
+        wav = jnp.asarray(np.concatenate([sil, speech, sil]))
+        mask = np.asarray(gmm_vad_mask(wav, self.SR))
+        n = len(mask)
+        third = n // 3
+        # speech region detected (dilation may extend past its edges)
+        assert mask[third + 2:2 * third - 2].mean() > 0.9
+        # leading silence (minus the dilation fringe) rejected
+        assert mask[:third - 8].mean() < 0.2
+
+    def test_adapts_to_loud_stationary_noise(self):
+        # A -33 dBFS noise floor sits far above energy_vad_mask's fixed
+        # -48 dB threshold, so the fixed detector keeps EVERYTHING; the
+        # GMM detector absorbs the floor into its noise model and keeps
+        # (mostly) the speech burst.  This is the webrtcvad capability the
+        # round-1 energy detector lacked.
+        rng = np.random.RandomState(3)
+        noise = (0.02 * rng.randn(4 * self.SR)).astype(np.float32)
+        speech = _speechlike(self.SR, 1.0)
+        wav = noise.copy()
+        wav[2 * self.SR:3 * self.SR] += speech
+        energy = np.asarray(energy_vad_mask(jnp.asarray(wav), self.SR))
+        assert energy.mean() > 0.98  # fixed threshold: useless here
+        mask = np.asarray(gmm_vad_mask(jnp.asarray(wav), self.SR))
+        n = len(mask)
+        # speech second flagged...
+        assert mask[2 * n // 4 + 2: 3 * n // 4 - 2].mean() > 0.8
+        # ...while the second noise-only second (after adaptation) is mostly
+        # dropped
+        assert mask[n // 4: 2 * n // 4].mean() < 0.5
+
+    def test_modes_monotone_aggressiveness(self):
+        # higher mode = stricter evidence requirement = no more voiced
+        # windows than a lower mode on the same marginal signal
+        rng = np.random.RandomState(1)
+        wav = (0.01 * rng.randn(2 * self.SR)).astype(np.float32)
+        wav[self.SR:] += 0.3 * _speechlike(self.SR, 1.0)
+        counts = [np.asarray(gmm_vad_mask(jnp.asarray(wav), self.SR,
+                                          mode=m)).sum() for m in (0, 3)]
+        assert counts[1] <= counts[0]
+
+    def test_silence_gives_empty_trim(self):
+        wav = np.zeros(2 * self.SR, np.float32)
+        trimmed = trim_long_silences(wav, self.SR, detector="gmm")
+        assert len(trimmed) == 0
+
+    def test_trim_gmm_detector(self):
+        sil = np.zeros(self.SR, np.float32)
+        wav = np.concatenate([sil, _speechlike(self.SR, 1.0), sil])
+        trimmed = trim_long_silences(wav, self.SR, detector="gmm")
         assert 0 < len(trimmed) < len(wav)
