@@ -120,7 +120,8 @@ def cmd_convert(args) -> int:
         from dvc_tpu.convert.griffinlim import make_griffinlim_vocoder
         vocoder = make_griffinlim_vocoder(cfg.audio, n_iter=args.gl_iters)
 
-    converter = VoiceConverter(cfg, trainer.model, variables, seed=args.seed)
+    converter = VoiceConverter(cfg, trainer.model, variables, seed=args.seed,
+                               long_context=args.long_context)
     converter.convert_speaker_pair(
         args.dataset_fp, args.src_spk, args.trg_spk,
         os.path.join(args.log_dir, "generation"),
@@ -426,6 +427,9 @@ def main(argv=None) -> int:
                    choices=["none", "griffinlim"],
                    help="checkpoint-free vocoder used when no --vocoder_ckpt")
     p.add_argument("--gl_iters", type=int, default=32)
+    p.add_argument("--long_context", action="store_true",
+                   help="encode with cross-chunk context (whole-utterance "
+                        "conv+biLSTM) instead of independent 64-frame chunks")
     p.set_defaults(fn=cmd_convert)
 
     p = sub.add_parser("train-speaker")

@@ -78,6 +78,10 @@ class VoiceConverter:
     model: DisentangledVAE
     variables: dict
     seed: int = 0
+    # long_context: encode source/target with the whole-utterance
+    # (cross-chunk-context) encoder instead of independent 64-frame chunks
+    # (models/long_context.py — additive capability, same checkpoints)
+    long_context: bool = False
 
     def convert_speaker_pair(self, dataset_fp: str, src_spk: str, trg_spk: str,
                              generation_dir: str, num_utterances: int = 2,
@@ -105,9 +109,15 @@ class VoiceConverter:
             target_mel = np.load(trg_fps[rng.choice(len(trg_fps))])
             utt_id = os.path.basename(src_fps[i]).split(".")[0].split("_")[-2] \
                 if "_" in os.path.basename(src_fps[i]) else str(i)
-            recons, converted = convert_mel(self.model, self.variables,
-                                            source_mel, target_mel,
-                                            self.cfg.vae.frames)
+            if self.long_context:
+                from dvc_tpu.models.long_context import convert_mel_long_context
+                recons, converted = convert_mel_long_context(
+                    self.model, self.variables, source_mel, target_mel,
+                    self.cfg.vae.frames)
+            else:
+                recons, converted = convert_mel(self.model, self.variables,
+                                                source_mel, target_mel,
+                                                self.cfg.vae.frames)
             if save_png:
                 self._save_pngs(save_dir, src_spk, trg_spk, utt_id,
                                 source_mel, recons, converted)
