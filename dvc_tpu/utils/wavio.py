@@ -6,6 +6,7 @@ extension-dispatched entry point."""
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
@@ -54,18 +55,50 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
 
 
 def read_audio(path: str) -> tuple[np.ndarray, int]:
-    """Extension-dispatched read: .flac via the native decoder, .wav (and
-    anything else RIFF) via read_wav.  .m4a/AAC is not decodable in-repo
-    (the reference needs ffmpeg-backed librosa for VoxCeleb2 too)."""
+    """Extension-dispatched read: .flac via the native decoder, .m4a/AAC
+    via an external ffmpeg on PATH (exactly the reference's situation:
+    librosa falls back to audioread, which shells to ffmpeg, for VoxCeleb2
+    — encoder/preprocess.py:266-276), .wav (and anything else RIFF) via
+    read_wav."""
     lower = path.lower()
     if lower.endswith(".flac"):
         from dvc_tpu.native.flac import read_flac
         return read_flac(path)
-    if lower.endswith(".m4a"):
-        raise NotImplementedError(
-            f"{path}: m4a/AAC needs an external decoder (ffmpeg); convert "
-            "VoxCeleb2 audio to wav/flac first")
+    if lower.endswith((".m4a", ".aac", ".mp4")):
+        return _external_decode(path)
     return read_wav(path)
+
+
+def _external_decode(path: str) -> tuple[np.ndarray, int]:
+    """Decode a compressed container through ffmpeg into a temporary PCM16
+    wav (a temp file, not stdout — streamed RIFF headers carry bogus sizes
+    the strict parser would reject)."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    exe = shutil.which("ffmpeg")
+    if exe is None:
+        raise NotImplementedError(
+            f"{path}: m4a/AAC decode needs ffmpeg on PATH (the reference's "
+            "audioread backend for VoxCeleb2 shells out to it too); install "
+            "ffmpeg or convert the audio to wav/flac first")
+    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as tmp:
+        tmp_path = tmp.name
+    try:
+        proc = subprocess.run(
+            [exe, "-y", "-v", "error", "-i", path,
+             "-f", "wav", "-acodec", "pcm_s16le", tmp_path],
+            capture_output=True)
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"ffmpeg failed on {path}: {proc.stderr.decode(errors='replace')[:500]}")
+        return read_wav(tmp_path)
+    finally:
+        try:
+            os.unlink(tmp_path)
+        except OSError:
+            pass
 
 
 def write_wav(path: str, wav: np.ndarray, sample_rate: int = 16_000) -> None:

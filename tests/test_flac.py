@@ -131,3 +131,55 @@ class TestVoxCeleb1Preprocess:
         assert stats.n_files == 1
         assert os.path.isdir(os.path.join(out, "id10001"))
         assert not os.path.isdir(os.path.join(out, "id10002"))
+
+
+class TestVoxCeleb2Preprocess:
+    """m4a decode is delegated to an external ffmpeg (the reference's
+    audioread backend does the same for VoxCeleb2); a stub ffmpeg on PATH
+    verifies the invocation + wav handoff without a real AAC decoder."""
+
+    def _fake_corpus(self, tmp_path):
+        root = tmp_path / "data"
+        d = root / "VoxCeleb2" / "dev" / "aac" / "id00001" / "vid0"
+        d.mkdir(parents=True)
+        (d / "00001.m4a").write_bytes(b"\x00\x00\x00\x18ftypM4A ")
+        return root
+
+    def test_stub_ffmpeg_decodes(self, tmp_path, monkeypatch):
+        from dvc_tpu.data.preprocess import preprocess_dataset
+        from dvc_tpu.utils.wavio import write_wav
+
+        rng = np.random.RandomState(0)
+        wav = 0.4 * np.sin(2 * np.pi * 200 * np.arange(8000) / FS) \
+            + 0.02 * rng.randn(8000)
+        fixture = tmp_path / "decoded.wav"
+        write_wav(str(fixture), wav, FS)
+
+        bindir = tmp_path / "bin"
+        bindir.mkdir()
+        stub = bindir / "ffmpeg"
+        stub.write_text("#!/bin/sh\n"
+                        "for last in \"$@\"; do :; done\n"
+                        f"cp {fixture} \"$last\"\n")
+        stub.chmod(0o755)
+        monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+
+        root = self._fake_corpus(tmp_path)
+        out = str(tmp_path / "mels")
+        stats = preprocess_dataset(str(root), out, "voxceleb2")
+        assert stats.n_files == 1
+        fps = [f for f in os.listdir(os.path.join(out, "id00001"))
+               if f.endswith("_mel.npy")]
+        assert fps == ["vid0_00001_mel.npy"]
+        mel = np.load(os.path.join(out, "id00001", fps[0]))
+        assert mel.shape[0] == 80 and 0.0 <= mel.min() and mel.max() <= 1.0
+
+    def test_clear_error_without_ffmpeg(self, tmp_path, monkeypatch):
+        from dvc_tpu.utils.wavio import read_audio
+
+        root = self._fake_corpus(tmp_path)
+        monkeypatch.setenv("PATH", str(tmp_path / "empty"))
+        m4a = os.path.join(root, "VoxCeleb2", "dev", "aac", "id00001",
+                           "vid0", "00001.m4a")
+        with pytest.raises(NotImplementedError, match="ffmpeg"):
+            read_audio(m4a)
