@@ -33,23 +33,62 @@
 // is computed, and frames below the threshold are forced fully aperiodic
 // (treated as unvoiced by the synthesizer).
 //
-// NOT implemented (documented deviations from pyworld): Harvest's optional
-// multithreading.  Exact WORLD bit-parity requires golden vectors recorded
-// where pyworld exists — see tools/gen_world_golden.py.
+// Like pyworld's optional multithreading, the channel filtering, candidate
+// refinement, and D4C frame loops run on a thread pool (DVC_WORLD_THREADS
+// overrides the hardware count; results are bit-identical at any thread
+// count — parallel sections write disjoint slots and merge in a fixed
+// order).
+//
+// Exact WORLD bit-parity requires golden vectors recorded where pyworld
+// exists — see tools/gen_world_golden.py.
 //
 // Build: g++ -O3 -shared -fPIC (no dependencies); bound via ctypes in
 // dvc_tpu/native/world.py.
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
 
 constexpr double kPi = 3.14159265358979323846;
 constexpr double kEps = 1e-12;
+
+// ------------------------------------------------------ thread pool -------
+int num_threads() {
+  if (const char* env = std::getenv("DVC_WORLD_THREADS")) {
+    int n = std::atoi(env);
+    if (n > 0) return n;
+  }
+  unsigned hw = std::thread::hardware_concurrency();
+  return hw ? static_cast<int>(hw) : 1;
+}
+
+// Run fn(i) for i in [0, n) across the pool.  Each index is claimed by an
+// atomic counter; callers guarantee distinct indices touch disjoint state,
+// so any schedule produces identical results.
+template <typename Fn>
+void parallel_for(long n, const Fn& fn) {
+  int workers = std::min<long>(num_threads(), n);
+  if (workers <= 1) {
+    for (long i = 0; i < n; ++i) fn(i);
+    return;
+  }
+  std::atomic<long> next(0);
+  auto run = [&]() {
+    for (long i = next.fetch_add(1); i < n; i = next.fetch_add(1)) fn(i);
+  };
+  std::vector<std::thread> pool;
+  pool.reserve(workers - 1);
+  for (int w = 1; w < workers; ++w) pool.emplace_back(run);
+  run();
+  for (auto& t : pool) t.join();
+}
 
 // ---------------------------------------------------------------- FFT ------
 // iterative radix-2 complex FFT (same construction as dvc_dsp.cpp).
@@ -374,16 +413,19 @@ int dvc_harvest_stage(const float* x, long n, int fs, double frame_period_ms,
   cand.score.assign(static_cast<size_t>(n1) * n_ch, 0.0);
   std::vector<int> n_cand(n1, 0);
 
-  std::vector<double> fre(fft_size), fim(fft_size), filtered(y.size());
-  for (int ch = 0; ch < n_ch; ++ch) {
+  // Channel filtering + event trains run on the thread pool: each channel
+  // writes its own (n1,) candidate column, and the dedup/insertion merge
+  // below walks channels in index order, so the result is bit-identical to
+  // the serial loop at any thread count.
+  std::vector<std::vector<double>> chan_cand(n_ch);
+  parallel_for(n_ch, [&](long ch) {
     double bf0 = f0_floor * std::pow(2.0, (ch + 1) / 24.0);
-    if (bf0 > f0_ceil * 1.1) break;
+    if (bf0 > f0_ceil * 1.1) return;
     // Nuttall-windowed cosine band-pass centered at bf0, 2 periods half-width
     int half = static_cast<int>(afs / bf0 * 2.0 + 0.5);
     int flen = 2 * half + 1;
-    if (flen >= fft_size) continue;
-    std::fill(fre.begin(), fre.end(), 0.0);
-    std::fill(fim.begin(), fim.end(), 0.0);
+    if (flen >= fft_size) return;
+    std::vector<double> fre(fft_size, 0.0), fim(fft_size, 0.0);
     for (int i = 0; i < flen; ++i)
       fre[i] = nuttall(static_cast<double>(i) / (flen - 1)) *
                std::cos(2.0 * kPi * bf0 * (i - half) / afs);
@@ -396,6 +438,7 @@ int dvc_harvest_stage(const float* x, long n, int fs, double frame_period_ms,
       fim[k] = ii;
     }
     fft_inplace(fre.data(), fim.data(), fft_size, /*inverse=*/true);
+    std::vector<double> filtered(y.size());
     for (size_t i = 0; i < y.size(); ++i) {
       size_t j = i + half;
       filtered[i] = (j < static_cast<size_t>(fft_size)) ? fre[j] : 0.0;
@@ -413,6 +456,8 @@ int dvc_harvest_stage(const float* x, long n, int fs, double frame_period_ms,
                         zero_crossings(neg, afs), zero_crossings(diff, afs),
                         zero_crossings(ndiff, afs)};
 
+    std::vector<double>& col = chan_cand[ch];
+    col.assign(n1, 0.0);
     for (int i = 0; i < n1; ++i) {
       double t = i * cand_period;
       double v[4], s = 0.0;
@@ -433,9 +478,19 @@ int dvc_harvest_stage(const float* x, long n, int fs, double frame_period_ms,
       if (dev > 0.2) continue;                        // four must agree
       if (m < bf0 * 0.5 || m > bf0 * 2.0) continue;   // in-channel band
       if (m < f0_floor || m > f0_ceil) continue;
-      // pre-refinement dedup: ~24 channels/octave means the true pitch is
-      // found by several adjacent channels — refining each copy would
-      // multiply the FFT cost for no information
+      col[i] = m;
+    }
+  });
+
+  // serial merge in channel order with pre-refinement dedup: ~24 channels/
+  // octave means the true pitch is found by several adjacent channels —
+  // refining each copy would multiply the FFT cost for no information
+  for (int ch = 0; ch < n_ch; ++ch) {
+    const std::vector<double>& col = chan_cand[ch];
+    if (col.empty()) continue;
+    for (int i = 0; i < n1; ++i) {
+      double m = col[i];
+      if (m <= 0.0) continue;
       bool dup = false;
       for (int j = 0; j < n_cand[i] && !dup; ++j)
         dup = std::fabs(cand.F(i, j) - m) < 0.03 * m;
@@ -448,8 +503,8 @@ int dvc_harvest_stage(const float* x, long n, int fs, double frame_period_ms,
     }
   }
 
-  // --- refinement + dedup ---------------------------------------------------
-  for (int i = 0; i < n1; ++i) {
+  // --- refinement + dedup (frames are independent -> thread pool) ----------
+  parallel_for(n1, [&](long i) {
     double t = i * cand_period;
     for (int j = 0; j < n_cand[i]; ++j) {
       double f0c = cand.F(i, j), sc = 0.0;
@@ -473,7 +528,7 @@ int dvc_harvest_stage(const float* x, long n, int fs, double frame_period_ms,
         }
       }
     }
-  }
+  });
 
   // --- neighbor-consistency pruning ----------------------------------------
   std::vector<double> pruned_score(cand.score);
@@ -640,11 +695,6 @@ int dvc_d4c(const float* x, long n, int fs, const double* f0, int n_frames,
   const int boundary =
       static_cast<int>(fft_d4c * 8.0 / seg_len + 0.5);  // main-lobe width
 
-  std::vector<double> re(fft_d4c), im(fft_d4c);
-  std::vector<double> centroid(n_freq_d4c), power(n_freq_d4c),
-      gd(n_freq_d4c), gd_smooth(n_freq_d4c);
-  std::vector<double> coarse_db(n_bands);
-
   auto sample = [&](long i) -> double {
     return (i >= 0 && i < n) ? x[i] : 0.0;
   };
@@ -678,7 +728,10 @@ int dvc_d4c(const float* x, long n, int fs, const double* f0, int n_frames,
   const int lt_b1 = static_cast<int>(std::ceil(4000.0 * fft_lt / fs));
   const int lt_b2 = static_cast<int>(std::ceil(7900.0 * fft_lt / fs));
 
-  for (int fr = 0; fr < n_frames; ++fr) {
+  // Frames are independent; each writes only its own output row and uses
+  // only local scratch, so the pool is deterministic.
+  std::atomic<bool> failed(false);
+  parallel_for(n_frames, [&](long fr) {
     double* row = ap_out + static_cast<size_t>(fr) * n_out;
     double cf0 = f0[fr];
     double tpos = fr * frame_period_ms / 1000.0;
@@ -689,8 +742,12 @@ int dvc_d4c(const float* x, long n, int fs, const double* f0, int n_frames,
     }
     if (cf0 <= 0.0 || cf0 < floor_f0) {
       for (int k = 0; k < n_out; ++k) row[k] = 1.0 - 1e-12;
-      continue;
+      return;
     }
+    std::vector<double> re(fft_d4c), im(fft_d4c);
+    std::vector<double> centroid(n_freq_d4c), power(n_freq_d4c),
+        gd(n_freq_d4c), gd_smooth(n_freq_d4c);
+    std::vector<double> coarse_db(n_bands);
     double t0s = fs / cf0;  // period in samples
 
     // ---- static centroid: Blackman 4*T0 windows at +-T0/4 -----------------
@@ -699,7 +756,10 @@ int dvc_d4c(const float* x, long n, int fs, const double* f0, int n_frames,
       long c = static_cast<long>(tpos * fs + off * t0s / 4.0 + 0.5);
       int half = static_cast<int>(2.0 * t0s + 0.5);
       int wlen = 2 * half + 1;
-      if (wlen >= fft_d4c) return -1;
+      if (wlen >= fft_d4c) {
+        failed.store(true);
+        return;
+      }
       std::vector<double> wave(wlen);
       double pw = 0.0;
       for (int i = 0; i < wlen; ++i) {
@@ -790,8 +850,8 @@ int dvc_d4c(const float* x, long n, int fs, const double* f0, int n_frames,
       row[k] = std::min(1.0 - 1e-12,
                         std::max(0.001, std::pow(10.0, db / 20.0)));
     }
-  }
-  return 0;
+  });
+  return failed.load() ? -1 : 0;
 }
 
 }  // extern "C"

@@ -166,6 +166,29 @@ class TestD4C:
         assert (ap > 0).all() and (ap < 1.0).all()
 
 
+class TestThreadDeterminism:
+    """The channel/refinement/frame thread pools must be bit-identical at
+    any thread count (parallel sections write disjoint slots and merge in a
+    fixed order)."""
+
+    def test_harvest_and_d4c_bit_identical(self, monkeypatch):
+        rng = np.random.RandomState(0)
+        t = np.arange(FS * 2) / FS
+        f0c = 160 * (1 + 0.1 * np.sin(2 * np.pi * 0.7 * t))
+        phase = np.cumsum(2 * np.pi * f0c / FS)
+        wav = (0.4 * np.sin(phase) + 0.2 * np.sin(2 * phase)
+               + 0.02 * rng.randn(len(t))).astype(np.float32)
+
+        monkeypatch.setenv("DVC_WORLD_THREADS", "1")
+        f0_1, _ = native_world.harvest(wav, FS)
+        ap_1 = native_world.d4c(wav, f0_1, FS)
+        monkeypatch.setenv("DVC_WORLD_THREADS", "5")
+        f0_5, _ = native_world.harvest(wav, FS)
+        ap_5 = native_world.d4c(wav, f0_5, FS)
+        assert np.array_equal(f0_1, f0_5)
+        assert np.array_equal(ap_1, ap_5)
+
+
 class TestD4CLoveTrain:
     """LoveTrain voicing override (Morise 2016 §2.2; pyworld
     D4COption.threshold, default 0.85): voiced frames whose 0.1-4 kHz power
