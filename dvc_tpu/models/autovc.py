@@ -125,8 +125,9 @@ class AutoVC(nn.Module):
             # (B, f0_dims) vector broadcast over all frames
             # (`f_0.unsqueeze(1).expand(-1, T, -1)` — constant in time by the
             # reference's own design).  Per-frame (B, T, f0_dims) pitch
-            # features (e.g. ops/pitch.quantized_pitch_onehot) are accepted
-            # as an extension and passed through unmodified.
+            # features are accepted as an extension and passed through
+            # unmodified (ops/pitch.quantized_pitch_onehot works here when
+            # called with bins == f0_dims; its default 257 does not match).
             if f0.ndim == 2:
                 f0 = jnp.broadcast_to(f0[:, None, :], (b, t, self.f0_dims))
             assert f0.shape == (b, t, self.f0_dims), f0.shape

@@ -122,7 +122,8 @@ class BatchNorm(nn.Module):
     momentum: float = 0.9  # = 1 - torch momentum (0.1)
     epsilon: float = 1e-5
     groups: int = 1
-    dtype: Dtype | None = None
+    # (no dtype knob: statistics are always computed in float32 and the
+    # output is cast back to the input dtype, torch BatchNorm1d's behavior)
 
     @nn.compact
     def __call__(self, x: jax.Array, use_running_average: bool | None = None) -> jax.Array:
@@ -156,6 +157,9 @@ class _GroupedBN(nn.Module):
             return y * scale + bias
 
         g = self.groups
+        assert x.ndim == 3, (
+            f"train-mode BatchNorm expects (B, T, C), got {x.shape} — "
+            "reshape rank-2/4 inputs to channels-last 3D first")
         b, t, _ = x.shape
         assert b % g == 0, f"batch {b} must divide groups {g}"
         xg = x.reshape(g, b // g, t, c).astype(jnp.float32)

@@ -22,6 +22,14 @@ from dvc_tpu.config import SpeakerEncoderConfig
 from dvc_tpu.models.layers import LSTM
 
 
+def _safe_l2_normalize(x: jax.Array, axis: int) -> jax.Array:
+    """x / ||x|| with finite FORWARD AND BACKWARD at x == 0: rsqrt of the
+    epsilon-shifted sum of squares (a post-hoc maximum on the norm keeps the
+    forward finite but its VJP still multiplies 0 * inf -> NaN gradients)."""
+    sumsq = jnp.sum(jnp.square(x), axis=axis, keepdims=True)
+    return x * jax.lax.rsqrt(sumsq + 1e-24)
+
+
 class SpeakerEncoder(nn.Module):
     cfg: SpeakerEncoderConfig = SpeakerEncoderConfig()
     dtype: jnp.dtype | None = None
@@ -43,21 +51,18 @@ class SpeakerEncoder(nn.Module):
         """(B, n_frames, n_mels) -> L2-normalized embeddings (B, E)."""
         _, (h, _) = self.lstm(utterances)
         embeds_raw = nn.relu(self.linear(h[-1]))
-        norm = jnp.linalg.norm(embeds_raw, axis=1, keepdims=True)
-        return embeds_raw / jnp.maximum(norm, 1e-12)
+        return _safe_l2_normalize(embeds_raw, axis=1)
 
     def similarity_matrix(self, embeds: jax.Array) -> jax.Array:
         """(S, U, E) -> (S, U, S) GE2E similarities (encoder/model.py:63-105)."""
         s, u, _ = embeds.shape
-        # centroid norms floored at 1e-12 (robustness addition: the reference
+        # epsilon-regularized norms (robustness addition: the reference
         # divides by the raw norm at encoder/model.py:76,81, so an all-zero
         # centroid — ReLU-dead embeddings early in training — NaNs the run)
         centroids_incl = jnp.mean(embeds, axis=1, keepdims=True)  # (S,1,E)
-        centroids_incl = centroids_incl / jnp.maximum(jnp.linalg.norm(
-            centroids_incl, axis=2, keepdims=True), 1e-12)
+        centroids_incl = _safe_l2_normalize(centroids_incl, axis=2)
         centroids_excl = (jnp.sum(embeds, axis=1, keepdims=True) - embeds) / (u - 1)
-        centroids_excl = centroids_excl / jnp.maximum(jnp.linalg.norm(
-            centroids_excl, axis=2, keepdims=True), 1e-12)
+        centroids_excl = _safe_l2_normalize(centroids_excl, axis=2)
 
         # off-diagonal: embed[s,u] . centroid_incl[j];  diagonal: . centroid_excl[s,u]
         sim_incl = jnp.einsum("sue,je->suj", embeds, centroids_incl[:, 0, :],

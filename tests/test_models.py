@@ -169,6 +169,26 @@ class TestSpeakerEncoder:
         assert np.isfinite(float(loss))
         assert sim.shape == (20, 4)
 
+    def test_zero_embeddings_finite_loss_and_grad(self):
+        """ReLU-dead embeddings (an all-zero speaker) must give finite loss
+        AND finite gradients: the reference's raw-norm division NaNs the run
+        (encoder/model.py:76,81), and a naive maximum(norm, eps) floor still
+        NaNs the BACKWARD pass (0 * inf in the norm VJP at exactly zero)."""
+        cfg = SpeakerEncoderConfig()
+        m = SpeakerEncoder(cfg)
+        x = jnp.ones((2, 63, 80))
+        vars_ = m.init(jax.random.PRNGKey(0), x)
+        embeds = np.random.RandomState(4).rand(4, 5, 256).astype(np.float32)
+        embeds[0] = 0.0  # one entirely dead speaker
+
+        def loss_fn(e):
+            loss, _ = m.apply(vars_, e, method="loss")
+            return loss
+
+        loss, grad = jax.value_and_grad(loss_fn)(jnp.asarray(embeds))
+        assert np.isfinite(float(loss))
+        assert np.isfinite(np.asarray(grad)).all()
+
 
 class TestAutoVC:
     def test_original_shapes(self):
