@@ -72,12 +72,20 @@ def create_ge2e_state(rng: jax.Array, cfg: SpeakerEncoderConfig
 
 
 def make_ge2e_step(model: SpeakerEncoder, optimizer: optax.GradientTransformation,
-                   cfg: SpeakerEncoderConfig, with_sim: bool = True) -> Callable:
+                   cfg: SpeakerEncoderConfig, with_sim: bool = True,
+                   mesh=None) -> Callable:
     """with_sim=False omits the similarity matrix from the outputs: a fresh
     unconsumed (S*U, S) device buffer per step measured 726 vs 34 ms/step on
     the remote-TPU runtime (buffers piling up between fetches stall the
     dispatch stream), so the training loop uses the light step on non-logging
-    steps and this full step only where the EER is actually computed."""
+    steps and this full step only where the EER is actually computed.
+
+    With a `mesh`, the SPEAKER axis of the (S, U, T, M) batch is sharded
+    over the mesh's first axis and the state replicated: the LSTM-heavy
+    embedding forward/backward runs data-parallel, and GSPMD inserts one
+    small all-gather of the (S, U, E) embeddings (~640 KB at the reference
+    geometry) where the GE2E loss needs every speaker's centroids, plus the
+    gradient all-reduce — both on ICI."""
     s, u = cfg.speakers_per_batch, cfg.utterances_per_speaker
 
     def loss_fn(params, batch):
@@ -98,7 +106,20 @@ def make_ge2e_step(model: SpeakerEncoder, optimizer: optax.GradientTransformatio
             return new_state, loss, sim
         return new_state, loss
 
-    return jax.jit(step, donate_argnums=(0,))
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    rep = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+    return jax.jit(step, donate_argnums=(0,),
+                   in_shardings=(rep, batch_sh), out_shardings=rep)
+
+
+def ge2e_batch_sharding(mesh):
+    """NamedSharding placing the speaker axis of a (S, U, T, M) batch over
+    the mesh's first axis (for device_put ahead of the sharded step)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    return NamedSharding(mesh, P(mesh.axis_names[0]))
 
 
 @dataclass
@@ -106,13 +127,25 @@ class SpeakerEncoderTrainer:
     cfg: SpeakerEncoderConfig
     run_id: str = "ge2e"
     models_dir: str = ""
+    # data-parallel over all visible devices when the speaker axis divides
+    # (adaptive, like train.Trainer): single-device behavior is unchanged
+    use_mesh: bool = True
 
     def __post_init__(self):
         self.model, self.state, self.optimizer = create_ge2e_state(
             jax.random.PRNGKey(0), self.cfg)
-        self.step_fn = make_ge2e_step(self.model, self.optimizer, self.cfg)
+        self.mesh = None
+        if self.use_mesh and len(jax.devices()) > 1 \
+                and self.cfg.speakers_per_batch % len(jax.devices()) == 0:
+            from dvc_tpu.config import MeshConfig
+            from dvc_tpu.parallel.mesh import make_mesh
+            self.mesh = make_mesh(MeshConfig(
+                data_parallel=len(jax.devices()), model_parallel=1))
+        self.step_fn = make_ge2e_step(self.model, self.optimizer, self.cfg,
+                                      mesh=self.mesh)
         self.step_fn_light = make_ge2e_step(self.model, self.optimizer,
-                                            self.cfg, with_sim=False)
+                                            self.cfg, with_sim=False,
+                                            mesh=self.mesh)
 
     # -- persistence ({step, model_state, optimizer_state}, train.py:47-54) --
 
@@ -157,9 +190,12 @@ class SpeakerEncoderTrainer:
         # host->device transfer one step ahead, so the 64x10x63x80 upload
         # overlaps the previous step's compute (the role of the reference's
         # DataLoader workers, encoder/train.py:27)
+        batch_sharding = ge2e_batch_sharding(self.mesh) \
+            if self.mesh is not None else None
+
         def _device_batches():
             for b in sampler:
-                yield jax.device_put(jnp.asarray(b))
+                yield jax.device_put(jnp.asarray(b), batch_sharding)
 
         it = _prefetch(iter(_device_batches()), depth=2)
         # host-side step mirror: int(self.state.step) per iteration would

@@ -155,3 +155,49 @@ class TestShardedCompute:
             return a @ w
 
         np.testing.assert_allclose(np.asarray(f(a_sh, w)), a @ w, rtol=2e-5)
+
+
+class TestGE2EDataParallel:
+    """The GE2E step sharded over the speaker axis must match the
+    single-device step step-for-step (the loss couples all speakers through
+    the centroids; GSPMD's all-gather must reproduce the dense math)."""
+
+    def test_sharded_step_matches_single_device(self):
+        from dvc_tpu.config import SpeakerEncoderConfig
+        from dvc_tpu.train.speaker_trainer import (
+            create_ge2e_state,
+            ge2e_batch_sharding,
+            make_ge2e_step,
+        )
+        import jax.numpy as jnp
+        from dvc_tpu.parallel.mesh import make_mesh
+
+        cfg = SpeakerEncoderConfig(speakers_per_batch=16,
+                                   utterances_per_speaker=3,
+                                   hidden_size=32, embedding_size=16,
+                                   num_layers=2)
+        mesh = make_mesh(MeshConfig(data_parallel=8, model_parallel=1))
+        rng = np.random.RandomState(0)
+        batches = [rng.rand(16, 3, 20, 80).astype(np.float32)
+                   for _ in range(3)]
+
+        results = {}
+        for use_mesh in (False, True):
+            model, state, optimizer = create_ge2e_state(
+                jax.random.PRNGKey(0), cfg)
+            step_fn = make_ge2e_step(model, optimizer, cfg, with_sim=False,
+                                     mesh=mesh if use_mesh else None)
+            sh = ge2e_batch_sharding(mesh) if use_mesh else None
+            losses = []
+            for b in batches:
+                state, loss = step_fn(state, jax.device_put(jnp.asarray(b),
+                                                            sh))
+                losses.append(float(loss))
+            results[use_mesh] = (losses, state.params)
+        np.testing.assert_allclose(results[True][0], results[False][0],
+                                   rtol=2e-5, atol=1e-6)
+        flat_a = jax.tree_util.tree_leaves(results[True][1])
+        flat_b = jax.tree_util.tree_leaves(results[False][1])
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-6)
