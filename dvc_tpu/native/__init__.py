@@ -70,14 +70,16 @@ def melspectrogram(wav: np.ndarray, sample_rate: int = 16_000,
                    ref_level_db: float = 16.0) -> np.ndarray:
     """(T,) float wav -> (num_mels, frames) normalized mel, C++ path."""
     lib = _load()
-    assert lib is not None, "native DSP library unavailable"
+    if lib is None:
+        raise RuntimeError("native DSP library unavailable")
     wav = np.ascontiguousarray(wav, np.float32)
     m = lib.dvc_num_frames(len(wav), fft_size, hop_size)
     out = np.empty((num_mels, m), np.float32)
     got = lib.dvc_melspectrogram(_fp(wav), len(wav), _fp(out), sample_rate,
                                  fft_size, hop_size, num_mels, fmin, fmax,
                                  min_level_db, ref_level_db)
-    assert got == m, f"native melspectrogram failed ({got})"
+    if got != m:
+        raise RuntimeError(f"native melspectrogram failed ({got})")
     return out
 
 
@@ -85,7 +87,8 @@ def melspectrogram_batch(wavs: list[np.ndarray], n_threads: int = 0,
                          **kw) -> list[np.ndarray]:
     """Thread-pooled batched mel extraction (one C call for the whole list)."""
     lib = _load()
-    assert lib is not None, "native DSP library unavailable"
+    if lib is None:
+        raise RuntimeError("native DSP library unavailable")
     p = dict(sample_rate=16_000, fft_size=1024, hop_size=256, num_mels=80,
              fmin=90.0, fmax=7600.0, min_level_db=-100.0, ref_level_db=16.0)
     p.update(kw)
@@ -109,26 +112,30 @@ def melspectrogram_batch(wavs: list[np.ndarray], n_threads: int = 0,
         frames_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), n_threads,
         p["sample_rate"], p["fft_size"], p["hop_size"], p["num_mels"],
         p["fmin"], p["fmax"], p["min_level_db"], p["ref_level_db"])
-    assert ret == 0, "native batch melspectrogram failed"
+    if ret != 0:
+        raise RuntimeError("native batch melspectrogram failed")
     return [out[o:o + s].reshape(p["num_mels"], f)
             for o, s, f in zip(out_offsets, sizes, frames_out)]
 
 
 def resample(wav: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     lib = _load()
-    assert lib is not None, "native DSP library unavailable"
+    if lib is None:
+        raise RuntimeError("native DSP library unavailable")
     wav = np.ascontiguousarray(wav, np.float32)
     out_len = int(np.ceil(len(wav) * target_sr / orig_sr))
     out = np.empty(out_len + 8, np.float32)
     got = lib.dvc_resample(_fp(wav), len(wav), _fp(out), orig_sr, target_sr)
-    assert got >= 0
+    if got < 0:
+        raise RuntimeError("native energy VAD failed")
     return out[:out_len]
 
 
 def energy_vad(wav: np.ndarray, sample_rate: int = 16_000, window_ms: int = 30,
                threshold_db: float = -48.0) -> np.ndarray:
     lib = _load()
-    assert lib is not None, "native DSP library unavailable"
+    if lib is None:
+        raise RuntimeError("native DSP library unavailable")
     wav = np.ascontiguousarray(wav, np.float32)
     spw = window_ms * sample_rate // 1000
     mask = np.zeros(len(wav) // spw, np.uint8)

@@ -32,11 +32,15 @@ def load_or_build(src_path: str, so_path: str):
 
 
 def _stale(src_path: str, so_path: str) -> bool:
-    """True when the .so is missing or older than its source (a stale
-    binary after a source update would load with a mismatched ABI)."""
+    """True when the .so is missing or older than its source or the shared
+    header (a stale binary after a source update would load with a
+    mismatched ABI)."""
+    header = os.path.join(os.path.dirname(src_path), "dvc_common.h")
     try:
-        return os.path.getmtime(so_path) < os.path.getmtime(src_path)
-    except OSError:
+        newest_src = max(os.path.getmtime(p) for p in (src_path, header)
+                         if os.path.exists(p))
+        return os.path.getmtime(so_path) < newest_src
+    except (OSError, ValueError):
         return True
 
 

@@ -24,45 +24,14 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
-#include <thread>
 #include <vector>
+
+#include "dvc_common.h"  // FFT, thread pool (shared with dvc_world)
 
 namespace {
 
-constexpr double kPi = 3.14159265358979323846;
-
-// ---------------------------------------------------------------- FFT ------
-// iterative radix-2 Cooley-Tukey, complex in-place; n must be a power of two.
-void fft_inplace(double* re, double* im, int n) {
-  for (int i = 1, j = 0; i < n; ++i) {
-    int bit = n >> 1;
-    for (; j & bit; bit >>= 1) j ^= bit;
-    j ^= bit;
-    if (i < j) {
-      std::swap(re[i], re[j]);
-      std::swap(im[i], im[j]);
-    }
-  }
-  for (int len = 2; len <= n; len <<= 1) {
-    double ang = -2.0 * kPi / len;
-    double wr = std::cos(ang), wi = std::sin(ang);
-    for (int i = 0; i < n; i += len) {
-      double cr = 1.0, ci = 0.0;
-      for (int k = 0; k < len / 2; ++k) {
-        double ur = re[i + k], ui = im[i + k];
-        double vr = re[i + k + len / 2] * cr - im[i + k + len / 2] * ci;
-        double vi = re[i + k + len / 2] * ci + im[i + k + len / 2] * cr;
-        re[i + k] = ur + vr;
-        im[i + k] = ui + vi;
-        re[i + k + len / 2] = ur - vr;
-        im[i + k + len / 2] = ui - vi;
-        double ncr = cr * wr - ci * wi;
-        ci = cr * wi + ci * wr;
-        cr = ncr;
-      }
-    }
-  }
-}
+using dvc::kPi;
+using dvc::fft_inplace;
 
 // --------------------------------------------------------------- mel -------
 // slaney mel scale (librosa default), matching ops/mel.py bit-for-bit in
@@ -123,23 +92,45 @@ int num_frames(long length, int fsize, int fshift) {
   return static_cast<int>((length + pad * 2 - fsize) / fshift + 2);
 }
 
-struct ThreadPool {
-  // simple fork-join over an index range
-  template <typename F>
-  static void parallel_for(int n, int n_threads, F&& fn) {
-    if (n_threads <= 1 || n <= 1) {
-      for (int i = 0; i < n; ++i) fn(i);
-      return;
+// one frame's mel extraction against a prebuilt basis (shared by the
+// single-call entry, which caches a basis per thread, and the batch entry,
+// which builds one basis for all workers)
+int mel_one(const float* wav, long n, float* out, const MelParams& p,
+            const std::vector<float>& basis) {
+  int m = num_frames(n, p.fft_size, p.hop_size);
+  int n_freq = p.fft_size / 2 + 1;
+  long pad_l = p.fft_size - p.hop_size;
+
+  std::vector<double> win(p.fft_size);
+  for (int i = 0; i < p.fft_size; ++i)
+    win[i] = std::sqrt(0.5 - 0.5 * std::cos(2.0 * kPi * i / p.fft_size));
+
+  std::vector<double> re(p.fft_size), im(p.fft_size), mag(n_freq);
+  const double min_level = std::exp(p.min_level_db / 20.0 * std::log(10.0));
+
+  for (int f = 0; f < m; ++f) {
+    long start = static_cast<long>(f) * p.hop_size - pad_l;
+    for (int i = 0; i < p.fft_size; ++i) {
+      long idx = start + i;
+      double v = (idx >= 0 && idx < n) ? wav[idx] : 0.0;
+      re[i] = v * win[i];
+      im[i] = 0.0;
     }
-    std::vector<std::thread> ts;
-    std::atomic_int next{0};
-    for (int t = 0; t < n_threads; ++t)
-      ts.emplace_back([&] {
-        for (int i; (i = next.fetch_add(1)) < n;) fn(i);
-      });
-    for (auto& t : ts) t.join();
+    fft_inplace(re.data(), im.data(), p.fft_size);
+    for (int k = 0; k < n_freq; ++k)
+      mag[k] = std::sqrt(re[k] * re[k] + im[k] * im[k]);
+    for (int mm = 0; mm < p.num_mels; ++mm) {
+      double acc = 0.0;
+      const float* row = &basis[static_cast<size_t>(mm) * n_freq];
+      for (int k = 0; k < n_freq; ++k) acc += row[k] * mag[k];
+      double db = 20.0 * std::log10(std::fmax(min_level, acc)) - p.ref_level_db;
+      double norm = (db - p.min_level_db) / -p.min_level_db;
+      out[static_cast<size_t>(mm) * m + f] =
+          static_cast<float>(std::fmin(1.0, std::fmax(0.0, norm)));
+    }
   }
-};
+  return m;
+}
 
 }  // namespace
 
@@ -170,45 +161,7 @@ int dvc_melspectrogram(const float* wav, long n, float* out,
     basis = build_mel_basis(p);
     cached = p;
   }
-
-  int m = num_frames(n, fft_size, hop_size);
-  int n_freq = fft_size / 2 + 1;
-  long pad_l = fft_size - hop_size;
-  // padded length = (m-1)*hop + fft
-  long padded_len = static_cast<long>(m - 1) * hop_size + fft_size;
-
-  std::vector<double> win(fft_size);
-  for (int i = 0; i < fft_size; ++i)
-    win[i] = std::sqrt(0.5 - 0.5 * std::cos(2.0 * kPi * i / fft_size));
-
-  std::vector<double> re(fft_size), im(fft_size), mag(n_freq);
-  const double min_level = std::exp(min_level_db / 20.0 * std::log(10.0));
-
-  std::vector<double> mel_acc(num_mels);
-  for (int f = 0; f < m; ++f) {
-    long start = static_cast<long>(f) * hop_size - pad_l;
-    for (int i = 0; i < fft_size; ++i) {
-      long idx = start + i;
-      double v = (idx >= 0 && idx < n) ? wav[idx] : 0.0;
-      re[i] = v * win[i];
-      im[i] = 0.0;
-    }
-    (void)padded_len;
-    fft_inplace(re.data(), im.data(), fft_size);
-    for (int k = 0; k < n_freq; ++k)
-      mag[k] = std::sqrt(re[k] * re[k] + im[k] * im[k]);
-    for (int mm = 0; mm < num_mels; ++mm) {
-      double acc = 0.0;
-      const float* row = &basis[static_cast<size_t>(mm) * n_freq];
-      for (int k = 0; k < n_freq; ++k) acc += row[k] * mag[k];
-      double db = 20.0 * std::log10(std::fmax(min_level, acc)) - ref_level_db;
-      double norm = (db - min_level_db) / -min_level_db;
-      out[static_cast<size_t>(mm) * m + f] =
-          static_cast<float>(std::fmin(1.0, std::fmax(0.0, norm)));
-      (void)mel_acc;
-    }
-  }
-  return m;
+  return mel_one(wav, n, out, p, basis);
 }
 
 int dvc_num_frames(long length, int fsize, int fshift) {
@@ -291,14 +244,26 @@ int dvc_melspectrogram_batch(const float* wavs, const long* offsets,
                              int hop_size, int num_mels, double fmin,
                              double fmax, double min_level_db,
                              double ref_level_db) {
+  MelParams p;
+  p.sample_rate = sample_rate;
+  p.fft_size = fft_size;
+  p.hop_size = hop_size;
+  p.num_mels = num_mels;
+  p.fmin = fmin;
+  p.fmax = fmax;
+  p.min_level_db = min_level_db;
+  p.ref_level_db = ref_level_db;
+  // one basis for every worker (read-only), built once per call
+  const std::vector<float> basis = build_mel_basis(p);
   std::atomic_int err{0};
-  ThreadPool::parallel_for(n_files, n_threads, [&](int i) {
-    int m = dvc_melspectrogram(wavs + offsets[i], lengths[i],
-                               out + out_offsets[i], sample_rate, fft_size,
-                               hop_size, num_mels, fmin, fmax, min_level_db,
-                               ref_level_db);
-    if (m < 0) err.store(1);
-    frames_out[i] = m;
+  dvc::parallel_for(n_files, n_threads, [&](long i) {
+    if (!wavs || !out || lengths[i] <= 0) {
+      err.store(1);
+      frames_out[i] = -1;
+      return;
+    }
+    frames_out[i] = mel_one(wavs + offsets[i], lengths[i],
+                            out + out_offsets[i], p, basis);
   });
   return err.load() ? -1 : 0;
 }

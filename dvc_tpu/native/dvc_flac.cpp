@@ -284,7 +284,6 @@ long dvc_flac_decode(const uint8_t* data, long n, float* out, long capacity) {
   BitReader br(data, static_cast<size_t>(n));
   br.byte = si.frames_offset;
 
-  const double scale = 1.0 / static_cast<double>(1ll << (si.bps - 1));
   long written = 0;
   std::vector<std::vector<int64_t>> ch(si.channels);
 
@@ -368,6 +367,10 @@ long dvc_flac_decode(const uint8_t* data, long n, float* out, long capacity) {
       }
     }
 
+    // scale by the FRAME's bit depth: a spec-legal frame may override
+    // STREAMINFO's bps (ss_code), and its samples are integers at that
+    // width — scaling by si.bps would mis-gain such frames by 2^(diff)
+    const double scale = 1.0 / static_cast<double>(1ll << (bps - 1));
     for (int i = 0; i < blocksize && written < capacity; ++i, ++written) {
       double acc = 0.0;
       for (int c = 0; c < si.channels; ++c)

@@ -49,100 +49,24 @@
 #include <atomic>
 #include <cmath>
 #include <cstdint>
-#include <cstdlib>
 #include <cstring>
-#include <thread>
 #include <vector>
+
+#include "dvc_common.h"  // FFT, windows, thread pool (shared with dvc_dsp)
 
 namespace {
 
-constexpr double kPi = 3.14159265358979323846;
+using dvc::kPi;
+using dvc::blackman;
+using dvc::fft_inplace;
+using dvc::next_pow2;
+using dvc::nuttall;
+
 constexpr double kEps = 1e-12;
 
-// ------------------------------------------------------ thread pool -------
-int num_threads() {
-  if (const char* env = std::getenv("DVC_WORLD_THREADS")) {
-    int n = std::atoi(env);
-    if (n > 0) return n;
-  }
-  unsigned hw = std::thread::hardware_concurrency();
-  return hw ? static_cast<int>(hw) : 1;
-}
-
-// Run fn(i) for i in [0, n) across the pool.  Each index is claimed by an
-// atomic counter; callers guarantee distinct indices touch disjoint state,
-// so any schedule produces identical results.
 template <typename Fn>
 void parallel_for(long n, const Fn& fn) {
-  int workers = std::min<long>(num_threads(), n);
-  if (workers <= 1) {
-    for (long i = 0; i < n; ++i) fn(i);
-    return;
-  }
-  std::atomic<long> next(0);
-  auto run = [&]() {
-    for (long i = next.fetch_add(1); i < n; i = next.fetch_add(1)) fn(i);
-  };
-  std::vector<std::thread> pool;
-  pool.reserve(workers - 1);
-  for (int w = 1; w < workers; ++w) pool.emplace_back(run);
-  run();
-  for (auto& t : pool) t.join();
-}
-
-// ---------------------------------------------------------------- FFT ------
-// iterative radix-2 complex FFT (same construction as dvc_dsp.cpp).
-void fft_inplace(double* re, double* im, int n, bool inverse = false) {
-  for (int i = 1, j = 0; i < n; ++i) {
-    int bit = n >> 1;
-    for (; j & bit; bit >>= 1) j ^= bit;
-    j ^= bit;
-    if (i < j) {
-      std::swap(re[i], re[j]);
-      std::swap(im[i], im[j]);
-    }
-  }
-  double sign = inverse ? 2.0 : -2.0;
-  for (int len = 2; len <= n; len <<= 1) {
-    double ang = sign * kPi / len;
-    double wr = std::cos(ang), wi = std::sin(ang);
-    for (int i = 0; i < n; i += len) {
-      double cr = 1.0, ci = 0.0;
-      for (int k = 0; k < len / 2; ++k) {
-        double ur = re[i + k], ui = im[i + k];
-        double vr = re[i + k + len / 2] * cr - im[i + k + len / 2] * ci;
-        double vi = re[i + k + len / 2] * ci + im[i + k + len / 2] * cr;
-        re[i + k] = ur + vr;
-        im[i + k] = ui + vi;
-        re[i + k + len / 2] = ur - vr;
-        im[i + k + len / 2] = ui - vi;
-        double ncr = cr * wr - ci * wi;
-        ci = cr * wi + ci * wr;
-        cr = ncr;
-      }
-    }
-  }
-  if (inverse)
-    for (int i = 0; i < n; ++i) {
-      re[i] /= n;
-      im[i] /= n;
-    }
-}
-
-int next_pow2(long n) {
-  int p = 1;
-  while (p < n) p <<= 1;
-  return p;
-}
-
-double nuttall(double x) {  // x in [0, 1]
-  return 0.355768 - 0.487396 * std::cos(2.0 * kPi * x) +
-         0.144232 * std::cos(4.0 * kPi * x) -
-         0.012604 * std::cos(6.0 * kPi * x);
-}
-
-double blackman(double x) {  // x in [0, 1]
-  return 0.42 - 0.5 * std::cos(2.0 * kPi * x) + 0.08 * std::cos(4.0 * kPi * x);
+  dvc::parallel_for(n, fn);
 }
 
 // ------------------------------------------------------- decimation --------
@@ -533,8 +457,11 @@ int dvc_harvest_stage(const float* x, long n, int fs, double frame_period_ms,
   // --- neighbor-consistency pruning ----------------------------------------
   std::vector<double> pruned_score(cand.score);
   auto closest_ratio = [&](int frame, double f) -> double {
+    // a missing neighbor (clip edge) is no evidence of inconsistency:
+    // treat it as a perfect match so boundary frames are never pruned for
+    // being first/last (audio trimmed mid-phonation keeps its edge f0)
+    if (frame < 0 || frame >= n1) return 0.0;
     double best = 1e30;
-    if (frame < 0 || frame >= n1) return best;
     for (int j = 0; j < n_cand[frame]; ++j) {
       double c = cand.F(frame, j);
       if (c <= 0.0) continue;

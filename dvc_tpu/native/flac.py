@@ -45,7 +45,8 @@ def available() -> bool:
 def read_flac(path: str) -> tuple[np.ndarray, int]:
     """FLAC file -> (float32 mono waveform in [-1, 1], sample_rate)."""
     lib = _load()
-    assert lib is not None, "native FLAC decoder unavailable"
+    if lib is None:
+        raise RuntimeError("native FLAC decoder unavailable")
     with open(path, "rb") as f:
         data = np.frombuffer(f.read(), np.uint8)
     buf = data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))

@@ -55,7 +55,8 @@ def harvest(wav: np.ndarray, fs: int, frame_period: float = 5.0,
     """(T,) waveform -> (f0, timeaxis), both (N,) float64 at frame_period ms
     (pyworld.harvest contract: f0 == 0 for unvoiced frames)."""
     lib = _load()
-    assert lib is not None, "native WORLD library unavailable"
+    if lib is None:
+        raise RuntimeError("native WORLD library unavailable")
     wav = np.ascontiguousarray(wav, np.float32)
     n_out = lib.dvc_harvest_frames(len(wav), fs, frame_period)
     f0 = np.zeros(n_out, np.float64)
@@ -63,7 +64,8 @@ def harvest(wav: np.ndarray, fs: int, frame_period: float = 5.0,
         wav.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(wav), fs,
         frame_period, f0_floor, f0_ceil,
         f0.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
-    assert got == n_out, f"native harvest failed ({got})"
+    if got != n_out:
+        raise RuntimeError(f"native harvest failed ({got})")
     timeaxis = np.arange(n_out, dtype=np.float64) * frame_period / 1000.0
     return f0, timeaxis
 
@@ -76,7 +78,8 @@ def d4c(wav: np.ndarray, f0: np.ndarray, fs: int, frame_period: float = 5.0,
     0.1-4 kHz share of 0.1-7.9 kHz power is at or below it are forced fully
     aperiodic.  Pass threshold=0 to disable the override."""
     lib = _load()
-    assert lib is not None, "native WORLD library unavailable"
+    if lib is None:
+        raise RuntimeError("native WORLD library unavailable")
     if fft_size is None:
         fft_size = int(2 ** np.ceil(np.log2(3.0 * fs / 71.0 + 1)))
     wav = np.ascontiguousarray(wav, np.float32)
@@ -88,5 +91,6 @@ def d4c(wav: np.ndarray, f0: np.ndarray, fs: int, frame_period: float = 5.0,
         f0.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n_frames,
         frame_period, fft_size, threshold,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
-    assert got == 0, f"native d4c failed ({got})"
+    if got != 0:
+        raise RuntimeError(f"native d4c failed ({got})")
     return out

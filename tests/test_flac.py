@@ -56,6 +56,23 @@ class TestFlacRoundTrip:
         got, _ = native_flac.read_flac(p)
         assert len(got) == 10_123
 
+    @pytest.mark.parametrize("frame_bps", [8, 24])
+    def test_per_frame_sample_size_override(self, tmp_path, frame_bps):
+        """Frames may carry a sample-size code overriding STREAMINFO's bps;
+        the decoder must scale by the FRAME's width (a si.bps-based scale
+        mis-gains these files by 2^(diff))."""
+        rng = np.random.RandomState(7)
+        t = np.arange(FS // 2) / FS
+        wav = 0.5 * np.sin(2 * np.pi * 220 * t) + 0.01 * rng.randn(len(t))
+        p = str(tmp_path / f"ss{frame_bps}.flac")
+        write_flac(p, wav, FS, mode="verbatim", frame_bps=frame_bps)
+        got, sr = native_flac.read_flac(p)
+        assert sr == FS
+        # 8-bit frames quantize coarsely; 24-bit ones are 16-bit exact
+        tol = 1.1 / (1 << (min(frame_bps, 16) - 1))
+        np.testing.assert_allclose(got, np.clip(wav, -1, 1), atol=tol)
+        assert np.abs(got).max() <= 1.0
+
     def test_non_flac_rejected(self, tmp_path):
         p = tmp_path / "junk.flac"
         p.write_bytes(b"not a flac file at all")

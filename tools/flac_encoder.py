@@ -143,15 +143,27 @@ def _encode_subframe(bw: _BitWriter, x: np.ndarray, bps: int, mode: str):
     raise ValueError(mode)
 
 
+_SS_CODE = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}
+
+
 def write_flac(path: str, wav: np.ndarray, sample_rate: int = 16_000,
-               blocksize: int = 4096, mode: str = "fixed2"):
-    """float [-1,1] (T,) or (T, 2) -> 16-bit FLAC file."""
+               blocksize: int = 4096, mode: str = "fixed2",
+               frame_bps: int = 16):
+    """float [-1,1] (T,) or (T, 2) -> FLAC file (STREAMINFO says 16-bit).
+
+    frame_bps != 16 writes every frame with a per-frame sample-size
+    override (spec-legal; frames carry integers at that width) — exercises
+    the decoder's ss_code path and its per-frame scaling."""
     wav = np.asarray(wav)
     if wav.ndim == 1:
         wav = wav[:, None]
     channels = wav.shape[1]
     assert channels in (1, 2)
     pcm = np.clip(np.round(wav * 32767.0), -32768, 32767).astype(np.int64)
+    if frame_bps >= 16:
+        pcm = pcm << (frame_bps - 16)
+    else:
+        pcm = pcm >> (16 - frame_bps)
     total = len(pcm)
 
     out = bytearray(b"fLaC")
@@ -178,7 +190,7 @@ def write_flac(path: str, wav: np.ndarray, sample_rate: int = 16_000,
         hdr.write(7, 4)                # block size: explicit 16-bit
         hdr.write(14, 4)               # sample rate: explicit 16-bit, 10s of Hz
         hdr.write(channels - 1, 4)     # independent channels
-        hdr.write(4, 3)                # 16 bps
+        hdr.write(_SS_CODE[frame_bps], 3)
         hdr.write(0, 1)                # reserved
         hdr.align()
         head = hdr.getvalue() + _utf8_number(frame_no)
@@ -195,11 +207,11 @@ def write_flac(path: str, wav: np.ndarray, sample_rate: int = 16_000,
             if m != "verbatim" and (x == x[0]).all():
                 m = "constant"
             try:
-                _encode_subframe(bw, x, 16, m)
+                _encode_subframe(bw, x, frame_bps, m)
             except OverflowError:
                 bw = _BitWriter()  # retry the whole frame verbatim
                 for c2 in range(channels):
-                    _encode_subframe(bw, block[:, c2], 16, "verbatim")
+                    _encode_subframe(bw, block[:, c2], frame_bps, "verbatim")
                 break
         bw.align()
         frame = head + bw.getvalue()
