@@ -107,8 +107,11 @@ class VoiceConverter:
         for i in range(min(num_utterances, len(src_fps))):
             source_mel = np.load(src_fps[i])
             target_mel = np.load(trg_fps[rng.choice(len(trg_fps))])
-            utt_id = os.path.basename(src_fps[i]).split(".")[0].split("_")[-2] \
-                if "_" in os.path.basename(src_fps[i]) else str(i)
+            stem = os.path.basename(src_fps[i]).split(".")[0]
+            # "<spk>_<utt>_mel.npy" -> "<utt>" (reference naming); anything
+            # else keeps the positional index
+            parts = stem.split("_")
+            utt_id = parts[-2] if len(parts) >= 2 else str(i)
             if self.long_context:
                 from dvc_tpu.models.long_context import convert_mel_long_context
                 recons, converted = convert_mel_long_context(
@@ -133,7 +136,7 @@ class VoiceConverter:
             for entry, wav in zip(results, wavs):
                 self._write_wav(os.path.join(
                     save_dir, f"convert_{src_spk}_to_{trg_spk}_{entry[0]}.wav"),
-                    wav)
+                    wav, self.cfg.audio.sample_rate)
                 entry.append(wav)
         return [tuple(r) for r in results]
 

@@ -107,27 +107,72 @@ def _griffin_lim(mag: jax.Array, length: int, n_iter: int,
     return jax.lax.fori_loop(0, n_iter, body, wav0)
 
 
+def _max_length_for_frames(m: int, cfg: AudioConfig) -> int | None:
+    """Largest sample count whose lws framing yields exactly m frames, or
+    None when no positive length does (very short mels).
+
+    num_frames is NOT monotone in length (its hop-unaligned branch adds 2
+    where the aligned one adds 1), so this inverts each branch analytically:
+    aligned lengths k*hop give k - 1 + fft//hop frames; unaligned lengths
+    give (L + fft - 2*hop)//hop + 2."""
+    fft, hop = cfg.fft_size, cfg.hop_size
+    cands = []
+    k = m + 1 - fft // hop
+    if k >= 1:
+        cands.append(k * hop)
+    lb = (m + 1) * hop - fft - 1  # unaligned-branch upper bound
+    for cand in (lb, lb - 1):     # step past a hop multiple if needed
+        if cand >= 1 and cand % hop != 0:
+            cands.append(cand)
+            break
+    good = [c for c in cands if num_frames(c, fft, hop) == m]
+    return max(good) if good else None
+
+
+def _padded_inversion_plan(m: int, cfg: AudioConfig) -> tuple[int, int, int]:
+    """(target_frames, length, crop) for a mel too short (or framing-skipped)
+    to invert directly: pad the magnitude to target_frames so the inferred
+    length covers the promised m*hop samples, then crop back."""
+    crop = max(1, m * cfg.hop_size)
+    target_m = m + -(-cfg.fft_size // cfg.hop_size) + 1
+    for _ in range(4 * target_m + 8):
+        length = _max_length_for_frames(target_m, cfg)
+        if length is not None and length >= crop:
+            return target_m, length, crop
+        target_m += 1
+    raise ValueError(f"no invertible framing for m={m}, cfg={cfg}")
+
+
+def default_inversion_length(m: int, cfg: AudioConfig) -> int:
+    """The output length griffin_lim produces for an m-frame magnitude when
+    no explicit length is given (shared with the batch vocoder so single
+    and batched calls agree)."""
+    length = _max_length_for_frames(m, cfg)
+    if length is not None and length >= 1:
+        return length
+    return _padded_inversion_plan(m, cfg)[2]
+
+
 def griffin_lim(mag: jax.Array, cfg: AudioConfig = AudioConfig(),
                 n_iter: int = 32, length: int | None = None) -> np.ndarray:
     """Phase recovery from (..., M, n_freq) |STFT| (role of librosa.griffinlim
     at reference processing.py:139).
 
-    Very short inputs (fewer frames than fft_size/hop_size) imply a
-    non-positive inferred length; the magnitude is zero-padded to the
-    minimum viable frame count and the output cropped back to m*hop samples.
+    Default length = the largest sample count framing to exactly m frames
+    (the mel round-trip inverse).  Very short inputs, where no positive
+    length frames to m, are zero-padded to a viable frame count and cropped
+    back to m*hop samples.
     """
     m = mag.shape[-2]
     crop = None
-    min_m = cfg.fft_size // cfg.hop_size  # smallest m with positive length
-    if length is None and m <= min_m:
-        pad = [(0, 0)] * (mag.ndim - 2) + [(0, min_m + 1 - m), (0, 0)]
-        mag = jnp.pad(jnp.asarray(mag), pad)
-        crop = max(1, m * cfg.hop_size)
-        m = min_m + 1
     if length is None:
-        # largest hop-aligned length whose lws framing yields exactly m frames
-        length = (m + 1) * cfg.hop_size - cfg.fft_size
-        assert num_frames(length, cfg.fft_size, cfg.hop_size) == m
+        length = _max_length_for_frames(m, cfg)
+        if length is None:
+            target_m, length, crop = _padded_inversion_plan(m, cfg)
+            pad = [(0, 0)] * (mag.ndim - 2) + [(0, target_m - m), (0, 0)]
+            mag = jnp.pad(jnp.asarray(mag), pad)
+            m = target_m
+    assert num_frames(length, cfg.fft_size, cfg.hop_size) == m
     wav = _griffin_lim(jnp.asarray(mag, jnp.float32), int(length),
                        int(n_iter), cfg)
     out = np.asarray(wav)
@@ -152,26 +197,25 @@ def make_griffinlim_vocoder(cfg: AudioConfig = AudioConfig(), n_iter: int = 32):
     def voc(mel: np.ndarray) -> np.ndarray:
         return mel_to_waveform(np.asarray(mel), cfg, n_iter)
 
-    def _single_len(t: int) -> int:
-        # the length voc(mel) would produce for a t-frame mel (including
-        # griffin_lim's short-input pad/crop rule)
-        if t <= cfg.fft_size // cfg.hop_size:
-            return max(1, t * cfg.hop_size)
-        return (t + 1) * cfg.hop_size - cfg.fft_size
-
     def voc_batch(mels: list) -> list:
         if not mels:
             return []
         ts = [m.shape[1] for m in mels]
-        t_max = max(ts)
-        stack = np.zeros((len(mels), mels[0].shape[0], t_max), np.float32)
+        # each output is cropped to the length its single-call twin would
+        # produce; pad the stack until the batched inversion covers the
+        # longest of them (zero-padded mel frames decode to near-silence)
+        lens = [default_inversion_length(t, cfg) for t in ts]
+        t_pad = max(ts)
+        while default_inversion_length(t_pad, cfg) < max(lens):
+            t_pad += 1
+        stack = np.zeros((len(mels), mels[0].shape[0], t_pad), np.float32)
         for i, m in enumerate(mels):
             stack[i, :, :m.shape[1]] = np.asarray(m, np.float32)
         mag = mel_to_stft_magnitude(jnp.asarray(stack), cfg)
         wavs = griffin_lim(mag, cfg, n_iter)
         out = []
         for i, t in enumerate(ts):
-            w = wavs[i, : min(_single_len(t), wavs.shape[-1])]
+            w = wavs[i, :lens[i]]
             peak = np.abs(w).max() if w.size else 0.0
             out.append((w / peak * 0.95).astype(np.float32)
                        if peak > 1e-8 else w.astype(np.float32))

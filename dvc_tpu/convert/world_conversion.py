@@ -22,7 +22,6 @@ import numpy as np
 from dvc_tpu.config import Config
 from dvc_tpu.ops.chunk import chunk_mel, unchunk_mel
 from dvc_tpu.ops.world import (
-    aperiodicity,
     mc2sp,
     mcepalpha,
     pitch_conversion,

@@ -92,18 +92,19 @@ _PACK_CACHE: dict = {}
 
 def pack_wavenet_params_cached(params: dict, cfg: VocoderConfig,
                                dtype=jnp.bfloat16,
-                               quantize: bool = False) -> dict:
+                               quantize: bool = False,
+                               fused: bool = False) -> dict:
     """Memoized pack_wavenet_params.  Packing stacks ~25M host-side params
     and uploads ~50 MB to the device — done per CALL it dominates generation
     (measured 568 vs ~25k samples/s/utt); callers converting many utterances
     with the same weights must hit this cache."""
     # cfg participates BY VALUE (frozen dataclass): an id() key could alias a
     # recycled address from a garbage-collected config of different geometry
-    key = (id(params), str(dtype), quantize, cfg)
+    key = (id(params), str(dtype), quantize, fused, cfg)
     hit = _PACK_CACHE.get(key)
     if hit is not None and hit[0] is params:
         return hit[1]
-    packed = pack_wavenet_params(params, cfg, dtype, quantize)
+    packed = pack_wavenet_params(params, cfg, dtype, quantize, fused=fused)
     if len(_PACK_CACHE) > 4:
         _PACK_CACHE.clear()
     _PACK_CACHE[key] = (params, packed)  # strong ref keeps id() stable
@@ -111,12 +112,17 @@ def pack_wavenet_params_cached(params: dict, cfg: VocoderConfig,
 
 
 def pack_wavenet_params(params: dict, cfg: VocoderConfig,
-                        dtype=jnp.bfloat16, quantize: bool = False) -> dict:
+                        dtype=jnp.bfloat16, quantize: bool = False,
+                        fused: bool = False) -> dict:
     """Flax param tree -> packed, layer-stacked arrays for the kernel.
 
     quantize=True stores the four streamed weight families as int8 with
     per-(layer, tap, out-channel) scales — halves the per-sample HBM traffic
     that bounds the AR loop; dequantization is a post-matmul row scale.
+
+    fused=True additionally builds the concatenated w_cat/w_so layouts used
+    by the fuse_matmuls experiment; by default small dummies are stored so
+    the common paths don't pack and upload an extra ~49 MB they never read.
     """
     L = cfg.layers
 
@@ -140,9 +146,13 @@ def pack_wavenet_params(params: dict, cfg: VocoderConfig,
     # fused layouts: one input-side matmul [x_2d; x_d; x_t; cond] @ w_cat and
     # one output-side matmul gated @ [w_skip | w_out] — six small matmuls per
     # layer became two (small-M matmul issue overhead dominated the body)
-    w_cat = np.concatenate([w_dil[:, 0], w_dil[:, 1], w_dil[:, 2], w_c],
-                           axis=1)                      # (L, 3R+C, G)
-    w_so = np.concatenate([w_skip, w_out], axis=2)      # (L, G2, S+R)
+    if fused and not quantize:
+        w_cat = np.concatenate([w_dil[:, 0], w_dil[:, 1], w_dil[:, 2], w_c],
+                               axis=1)                  # (L, 3R+C, G)
+        w_so = np.concatenate([w_skip, w_out], axis=2)  # (L, G2, S+R)
+    else:
+        w_cat = np.zeros((L, 1, 1), np.float32)
+        w_so = np.zeros((L, 1, 1), np.float32)
 
     if quantize:
         qd = np.empty_like(w_dil, dtype=np.int8)
@@ -164,10 +174,10 @@ def pack_wavenet_params(params: dict, cfg: VocoderConfig,
         scales = {"s_dil": jnp.asarray(sd), "s_out": jnp.asarray(so),
                   "s_c": jnp.asarray(sc), "s_skip": jnp.asarray(ss)}
         wdt = jnp.int8
-        # rebuild fused layouts from the quantized tensors is not supported;
-        # the quantized path keeps the unfused 6-matmul body
-        w_cat = np.zeros((L, 1, 1), np.int8)
-        w_so = np.zeros((L, 1, 1), np.int8)
+        # rebuilding fused layouts from the quantized tensors is not
+        # supported; the quantized path keeps the unfused 6-matmul body
+        w_cat = w_cat.astype(np.int8)
+        w_so = w_so.astype(np.int8)
     else:
         scales = {}
         wdt = dtype
@@ -548,7 +558,8 @@ def pallas_generate(variables: dict, c_frames: jax.Array, seed: int,
     and accumulations stay bf16/f32.
     """
     packed = pack_wavenet_params_cached(variables["params"], cfg, weight_dtype,
-                                        quantize=quantize_int8)
+                                        quantize=quantize_int8,
+                                        fused=fuse_matmuls and not quantize_int8)
     # upsample conditioning once, batched, outside the kernel — JITTED: run
     # eagerly this dispatches dozens of ops one by one (seconds of fixed
     # overhead per call over a remote-device link)
@@ -560,22 +571,26 @@ def pallas_generate(variables: dict, c_frames: jax.Array, seed: int,
                     and layers_per_block == 1)
     if resident:
         assert not quantize_int8, "resident path is bf16/f32 only"
-        if not _resident_fits(packed, cfg, b):
-            # batch too large for resident ring buffers: run resident-sized
-            # sub-batches sequentially — at b=128 two resident b=64 passes
-            # measured ~3.9x the streamed kernel's aggregate (2.84M vs 735k
-            # samples/s)
-            sub = b
-            while sub > 1 and not _resident_fits(packed, cfg, sub):
-                sub //= 2
+        if _resident_fits(packed, cfg, b):
+            return pallas_generate_resident(packed, cond, seed, cfg,
+                                            interpret=interpret,
+                                            deterministic=deterministic)
+        # batch too large for resident ring buffers: run resident-sized
+        # sub-batches sequentially — at b=128 two resident b=64 passes
+        # measured ~3.9x the streamed kernel's aggregate (2.84M vs 735k
+        # samples/s)
+        sub = b
+        while sub > 1 and not _resident_fits(packed, cfg, sub):
+            sub //= 2
+        if _resident_fits(packed, cfg, sub):
             outs = [pallas_generate_resident(packed, cond[i:i + sub], seed + i,
                                              cfg, interpret=interpret,
                                              deterministic=deterministic)
                     for i in range(0, b, sub)]
             return jnp.concatenate(outs, axis=0)
-        return pallas_generate_resident(packed, cond, seed, cfg,
-                                        interpret=interpret,
-                                        deterministic=deterministic)
+        # the WEIGHTS alone exceed the VMEM budget (bigger-than-default
+        # model): resident is impossible at any batch — stream from HBM
+        resident = False
 
     L = cfg.layers
     R = cfg.residual_channels
@@ -594,12 +609,10 @@ def pallas_generate(variables: dict, c_frames: jax.Array, seed: int,
         scale_args = (packed["s_dil"], packed["s_out"], packed["s_c"],
                       packed["s_skip"])
     else:
-        z = jnp.zeros((1, 1), jnp.float32)
         scale_args = (jnp.zeros((L_dim, 3, G), jnp.float32),
                       jnp.zeros((L_dim, R), jnp.float32),
                       jnp.zeros((L_dim, G), jnp.float32),
                       jnp.zeros((L_dim, S), jnp.float32))
-        del z
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # dil, offs, seed
         grid=(t_total, L // lb),

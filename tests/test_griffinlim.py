@@ -3,6 +3,7 @@ EpochPermutationSampler balance guarantee."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dvc_tpu.config import AudioConfig
 from dvc_tpu.convert.griffinlim import (
@@ -65,6 +66,34 @@ class TestGriffinLim:
         wav = griffin_lim(mag, CFG, n_iter=1)
         assert num_frames(wav.shape[-1], CFG.fft_size, CFG.hop_size) == 20
 
+    @pytest.mark.parametrize("m", [1, 2, 3, 4, 5])
+    def test_short_mel_lengths(self, m):
+        """Every frame count inverts to its advertised default length; mels
+        with no exact round-trip inverse (m <= 3 at the default framing)
+        come back with the full m*hop samples (regression: the pad amount
+        used to under-cover the crop — 512 samples for a 3-frame mel's
+        promised 768)."""
+        from dvc_tpu.convert.griffinlim import default_inversion_length
+        from dvc_tpu.ops.stft import num_frames as nf
+        mag = jnp.ones((m, CFG.fft_size // 2 + 1), jnp.float32)
+        wav = griffin_lim(mag, CFG, n_iter=1)
+        assert wav.shape[-1] == default_inversion_length(m, CFG)
+        if nf(wav.shape[-1], CFG.fft_size, CFG.hop_size) != m:
+            # padded/cropped path: the promised m*hop samples
+            assert wav.shape[-1] == max(1, m * CFG.hop_size)
+
+    def test_hop_not_dividing_fft(self):
+        """Default-length inference must work for any legal framing grid
+        (regression: the closed-form inverse assumed fft % hop == 0 and
+        tripped the frame-count assert)."""
+        from dvc_tpu.config import AudioConfig
+        cfg = AudioConfig(fft_size=1024, hop_size=250)
+        mag = jnp.ones((20, cfg.fft_size // 2 + 1), jnp.float32)
+        wav = griffin_lim(mag, cfg, n_iter=1)
+        assert wav.ndim == 1 and wav.shape[-1] > 0
+        assert num_frames(wav.shape[-1], cfg.fft_size, cfg.hop_size) \
+            in (20, 21)  # exact when the grid admits it
+
 
 class TestMelInversion:
     def test_mel_roundtrip_energy(self):
@@ -99,9 +128,11 @@ class TestMelInversion:
         output has the same length its single-call twin would have."""
         voc = make_griffinlim_vocoder(CFG, n_iter=2)
         rng = np.random.RandomState(1)
-        mels = [rng.rand(80, t).astype(np.float32) for t in (8, 12, 6)]
+        # includes a 2-frame mel: its single-call twin takes the padded
+        # m*hop path, and the batch must still match it exactly
+        mels = [rng.rand(80, t).astype(np.float32) for t in (8, 12, 6, 2)]
         wavs = voc.batch(mels)
-        assert len(wavs) == 3
+        assert len(wavs) == 4
         for m, w in zip(mels, wavs):
             assert w.shape == voc(m).shape
             assert np.isfinite(w).all()
