@@ -22,6 +22,7 @@ import numpy as np
 from dvc_tpu.config import Config
 from dvc_tpu.ops.chunk import chunk_mel, unchunk_mel
 from dvc_tpu.ops.world import (
+    cheaptrick_fft_size,
     mc2sp,
     mcepalpha,
     pitch_conversion,
@@ -80,7 +81,7 @@ def world_convert_utterance(model, variables, src_npz: dict, trg_npz: dict,
 
     # 3. envelope from converted mceps
     alpha = mcepalpha(fs)
-    fft_size = int(2 ** np.ceil(np.log2(3.0 * fs / 71.0 + 1)))
+    fft_size = cheaptrick_fft_size(fs)
     sp = np.asarray(mc2sp(jnp.asarray(mc, jnp.float32), alpha, fft_size))
 
     # 4. pitch conversion (voiced frames only; unvoiced stay 0)

@@ -69,7 +69,11 @@ class _PairedDatasetBase:
         self.cache_enabled = cache
         self._cache: dict[str, np.ndarray] = {}
 
-        self.speaker_ids = sorted(os.listdir(file_path))
+        # directories only: WORLD preprocessing writes per-speaker stats
+        # files (mcep_<spk>.npz, log_f0_<spk>.npz) into the same out_dir
+        self.speaker_ids = sorted(
+            d for d in os.listdir(file_path)
+            if os.path.isdir(os.path.join(file_path, d)))
         self.spk_utt: list[np.ndarray] = []
         for spk in self.speaker_ids:
             utts = np.array(sorted(

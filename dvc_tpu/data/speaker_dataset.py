@@ -87,7 +87,8 @@ class Speaker:
                        rng: np.random.Generator) -> np.ndarray:
         """-> (count, n_frames, n_mels) random crops of `count` utterances."""
         fps = self.cycler.sample(count)
-        out = np.zeros((count, n_frames, 80), np.float32)
+        n_mels = self._frames(fps[0]).shape[1]
+        out = np.zeros((count, n_frames, n_mels), np.float32)
         for i, fp in enumerate(fps):
             frames = self._frames(fp)
             if len(frames) <= n_frames:

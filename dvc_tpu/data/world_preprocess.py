@@ -33,6 +33,10 @@ def preprocess_world_speaker(speaker_dir: str, out_dir: str,
     os.makedirs(spk_out, exist_ok=True)
 
     wav_fps = sorted(glob.glob(os.path.join(speaker_dir, "*.wav")))
+    if not wav_fps:
+        # an empty (or wav-free) speaker dir must not abort the whole run
+        print(f"  {spk}: no .wav files, skipped")
+        return
 
     def analyze(fp):
         wav, sr = read_wav(fp)

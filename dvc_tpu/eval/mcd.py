@@ -23,13 +23,25 @@ import jax.numpy as jnp
 
 def dtw_path(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Exact DTW alignment path between (N, D) and (M, D) under euclidean
-    distance.  Returns (path_x, path_y) index arrays."""
+    distance.  Returns (path_x, path_y) index arrays.
+
+    The distance matrix is vectorized numpy; the O(N*M) accumulation +
+    backtrack runs in the native engine when available (the pure-Python
+    recurrence holds the GIL for millions of interpreter steps on long
+    utterances, serializing evaluate_mcd_wav's thread pool) with the
+    Python loop as the engine-free fallback."""
     x = np.asarray(x, np.float64)
     y = np.asarray(y, np.float64)
     n, m = len(x), len(y)
     dist = np.sqrt(
         np.maximum(0.0, (x**2).sum(1)[:, None] + (y**2).sum(1)[None, :]
                    - 2.0 * x @ y.T))
+    try:
+        from dvc_tpu import native
+        if native.available():
+            return native.dtw_path(dist)
+    except Exception:
+        pass
     acc = np.full((n + 1, m + 1), np.inf)
     acc[0, 0] = 0.0
     for i in range(1, n + 1):

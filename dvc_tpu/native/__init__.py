@@ -43,6 +43,10 @@ def _load():
         ctypes.POINTER(ctypes.c_float), ctypes.c_long,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
         ctypes.c_double]
+    lib.dvc_dtw_path.restype = ctypes.c_long
+    lib.dvc_dtw_path.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
     lib.dvc_melspectrogram_batch.restype = ctypes.c_int
     lib.dvc_melspectrogram_batch.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_long),
@@ -127,8 +131,27 @@ def resample(wav: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     out = np.empty(out_len + 8, np.float32)
     got = lib.dvc_resample(_fp(wav), len(wav), _fp(out), orig_sr, target_sr)
     if got < 0:
-        raise RuntimeError("native energy VAD failed")
+        raise RuntimeError("native resample failed")
     return out[:out_len]
+
+
+def dtw_path(dist: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exact DTW path over a dense (n, m) distance matrix (C-speed twin of
+    eval/mcd.dtw_path's accumulation + backtrack)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native DSP library unavailable")
+    dist = np.ascontiguousarray(dist, np.float64)
+    n, m = dist.shape
+    px = np.empty(n + m, np.int32)
+    py = np.empty(n + m, np.int32)
+    got = lib.dvc_dtw_path(
+        dist.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n, m,
+        px.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        py.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    if got < 0:
+        raise RuntimeError("native DTW failed")
+    return px[:got].astype(np.int64), py[:got].astype(np.int64)
 
 
 def energy_vad(wav: np.ndarray, sample_rate: int = 16_000, window_ms: int = 30,

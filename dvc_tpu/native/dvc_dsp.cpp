@@ -234,6 +234,63 @@ long dvc_energy_vad(const float* wav, long n, uint8_t* mask, int sample_rate,
   return windows;
 }
 
+// Exact DTW over a dense (n, m) distance matrix: accumulate and backtrack
+// the optimal path (role of the Python loop in eval/mcd.py:dtw_path, which
+// holds the GIL for O(N*M) interpreter steps).  px/py must hold n + m
+// entries; returns the path length (start-to-end order), or -1 on error.
+// Tie-breaking matches the Python implementation: diagonal, then up, then
+// left.
+long dvc_dtw_path(const double* dist, long n, long m, int* px, int* py) {
+  if (!dist || !px || !py || n <= 0 || m <= 0) return -1;
+  const long w = m + 1;
+  std::vector<double> acc(static_cast<size_t>(n + 1) * w, HUGE_VAL);
+  acc[0] = 0.0;
+  for (long i = 1; i <= n; ++i) {
+    const double* drow = dist + (i - 1) * m;
+    double* row = acc.data() + i * w;
+    const double* prev = acc.data() + (i - 1) * w;
+    for (long j = 1; j <= m; ++j) {
+      double best = prev[j];
+      if (row[j - 1] < best) best = row[j - 1];
+      if (prev[j - 1] < best) best = prev[j - 1];
+      row[j] = drow[j - 1] + best;
+    }
+  }
+  std::vector<int> rx, ry;
+  rx.reserve(n + m);
+  ry.reserve(n + m);
+  long i = n, j = m;
+  while (i > 0 || j > 0) {
+    rx.push_back(static_cast<int>(i - 1));
+    ry.push_back(static_cast<int>(j - 1));
+    double best = HUGE_VAL;
+    long bi = i, bj = j;
+    if (i > 0 && j > 0) {
+      best = acc[(i - 1) * w + (j - 1)];
+      bi = i - 1;
+      bj = j - 1;
+    }
+    if (i > 0 && acc[(i - 1) * w + j] < best) {
+      best = acc[(i - 1) * w + j];
+      bi = i - 1;
+      bj = j;
+    }
+    if (j > 0 && acc[i * w + (j - 1)] < best) {
+      bi = i;
+      bj = j - 1;
+    }
+    i = bi;
+    j = bj;
+    if (i == 0 && j == 0) break;
+  }
+  long len = static_cast<long>(rx.size());
+  for (long k = 0; k < len; ++k) {
+    px[k] = rx[len - 1 - k];
+    py[k] = ry[len - 1 - k];
+  }
+  return len;
+}
+
 // Batched mel extraction with a thread pool: n_files wavs (concatenated in
 // `wavs`, lengths in `lengths`), outputs written at out_offsets into `out`.
 // frames_out[i] receives the frame count of file i.

@@ -81,7 +81,8 @@ def d4c(wav: np.ndarray, f0: np.ndarray, fs: int, frame_period: float = 5.0,
     if lib is None:
         raise RuntimeError("native WORLD library unavailable")
     if fft_size is None:
-        fft_size = int(2 ** np.ceil(np.log2(3.0 * fs / 71.0 + 1)))
+        from dvc_tpu.ops.world import cheaptrick_fft_size
+        fft_size = cheaptrick_fft_size(fs)
     wav = np.ascontiguousarray(wav, np.float32)
     f0 = np.ascontiguousarray(f0, np.float64)
     n_frames = len(f0)

@@ -84,15 +84,22 @@ def resample_poly(wav: jax.Array, orig_sr: int, target_sr: int) -> jax.Array:
     batch_shape = x.shape[:-1]
     t = x.shape[-1]
     x = x.reshape((-1, 1, t))
+    out_len = int(np.ceil(t * up / down))
+    # right padding must cover the LAST output's kernel reach, not just the
+    # symmetric filter half (which loses the final sample(s) for some
+    # length/ratio combinations): output o sits at dilated position o*down
+    # and reads [o*down - pad, o*down + pad] of the ((t-1)*up + 1)-long
+    # dilated signal.
+    dilated_len = (t - 1) * up + 1
+    pad_r = max(pad, (out_len - 1) * down + pad + 1 - dilated_len)
     # conv with input dilation == upsampling by `up`, stride == `down`
     y = jax.lax.conv_general_dilated(
         x, jnp.asarray(kernel).reshape(1, 1, -1),
         window_strides=(down,),
-        padding=[(pad, pad)],
+        padding=[(pad, pad_r)],
         lhs_dilation=(up,),
         dimension_numbers=("NCH", "OIH", "NCH"),
     )
-    out_len = int(np.ceil(t * up / down))
     return y.reshape(batch_shape + (-1,))[..., :out_len]
 
 

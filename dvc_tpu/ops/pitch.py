@@ -24,7 +24,8 @@ def estimate_pitch(segment: jax.Array, sr: int = 16_000,
     ((f0-min)/max, NOT true min-max (f0-min)/(max-min); for fully voiced
     segments the values compress below 1 — a reference quirk reproduced) —
     and scaled to ceil(x * 256)."""
-    f0, _ = estimate_f0(jnp.asarray(segment, jnp.float32), sr)
+    f0, _ = estimate_f0(jnp.asarray(segment, jnp.float32), sr,
+                        f0_floor=fmin, f0_ceil=fmax)
     f0_min = jnp.min(f0)
     f0_max = jnp.maximum(jnp.max(f0), 1e-6)
     norm = (f0 - f0_min) / f0_max

@@ -48,7 +48,9 @@ def mcepalpha(fs: int, start: float = 0.0, stop: float = 1.0,
               step: float = 0.001, num_points: int = 1000) -> float:
     """Best all-pass constant approximating the mel scale at fs — exact
     pysptk.util.mcepalpha math (log2-based mel vector, normalized warping
-    vector, RMS brute force).  16 kHz -> 0.42."""
+    vector, RMS brute force).  16 kHz -> ~0.41 (the value pysptk computes;
+    the 0.42 many papers hardcode is a rounded convention — parity with the
+    reference, which calls pysptk.util.mcepalpha(fs), means 0.41 here)."""
     alphas = np.arange(start, stop, step)
     # pysptk _melscale_vector
     fstep = (fs / 2.0) / num_points
@@ -200,6 +202,13 @@ DEFAULT_F0 = 500.0
 Q1 = -0.15
 
 
+def cheaptrick_fft_size(fs: int, f0_floor: float = 71.0) -> int:
+    """WORLD's CheapTrick FFT-size rule (single source for every consumer:
+    spectral_envelope, aperiodicity, world_decompose, native d4c, and the
+    MCC conversion decoder must agree on the spectral grid)."""
+    return int(2 ** np.ceil(np.log2(3.0 * fs / f0_floor + 1)))
+
+
 def spectral_envelope(wav: jax.Array, f0: jax.Array, fs: int = 16_000,
                       frame_period: float = 5.0, fft_size: int | None = None
                       ) -> jax.Array:
@@ -211,7 +220,7 @@ def spectral_envelope(wav: jax.Array, f0: jax.Array, fs: int = 16_000,
     with sin(pi f0 q)/(pi f0 q) and the q1 compensation lifter.
     """
     if fft_size is None:
-        fft_size = int(2 ** np.ceil(np.log2(3.0 * fs / 71.0 + 1)))  # WORLD's rule
+        fft_size = cheaptrick_fft_size(fs)
     n_freq = fft_size // 2 + 1
     hop = int(fs * frame_period / 1000.0)
     n_frames = f0.shape[0]
@@ -257,14 +266,15 @@ def spectral_envelope(wav: jax.Array, f0: jax.Array, fs: int = 16_000,
         / jnp.maximum(hi - lo, 1e-6)
     smoothed = jnp.maximum(smoothed, 1e-30)
 
-    # (3) liftering: sinc(f0 q) * (1.18 + 2*q1*cos(2 pi f0 q)); q1 = -0.15
+    # (3) liftering: sinc(f0 q) * ((1 - 2*q1) + 2*q1*cos(2 pi f0 q));
+    # q1 = -0.15 -> 1.3 - 0.3*cos (Morise 2015 smoothing-compensation lifter)
     logspec = jnp.log(smoothed)
     full = jnp.concatenate([logspec, logspec[..., -2:0:-1]], axis=-1)
     ceps = jnp.fft.rfft(full, axis=-1).real / fft_size * 2  # quefrency domain
     q = jnp.arange(ceps.shape[-1], dtype=jnp.float32)[None, :] / fs
     f0q = f0_safe[:, None] * q
     sinc = jnp.where(f0q == 0, 1.0, jnp.sin(np.pi * f0q) / jnp.maximum(np.pi * f0q, 1e-12))
-    comp = (1.0 + 2.0 * Q1) - 2.0 * Q1 * jnp.cos(2 * np.pi * f0q)
+    comp = (1.0 - 2.0 * Q1) + 2.0 * Q1 * jnp.cos(2 * np.pi * f0q)
     ceps = ceps * sinc * comp
     # back to log-spectral domain
     rec = jnp.fft.irfft(ceps, n=fft_size, axis=-1) * fft_size / 2
@@ -284,7 +294,7 @@ def aperiodicity(wav: jax.Array, f0: jax.Array, fs: int = 16_000,
     to the full (N, fft_size//2+1) grid like d4c.
     """
     if fft_size is None:
-        fft_size = int(2 ** np.ceil(np.log2(3.0 * fs / 71.0 + 1)))
+        fft_size = cheaptrick_fft_size(fs)
     n_freq = fft_size // 2 + 1
     hop = int(fs * frame_period / 1000.0)
     n = f0.shape[0]
@@ -471,7 +481,7 @@ def world_speech_synthesis(f0: np.ndarray, sp: np.ndarray, ap: np.ndarray,
 
 def world_decode_mc(mc: np.ndarray, fs: int) -> np.ndarray:
     """Reference world_decode_mc (WORLD_processing.py:50-59)."""
-    fft_size = int(2 ** np.ceil(np.log2(3.0 * fs / 71.0 + 1)))
+    fft_size = cheaptrick_fft_size(fs)
     return np.asarray(mc2sp(jnp.asarray(mc), mcepalpha(fs), fft_size))
 
 

@@ -158,3 +158,17 @@ class TestGmmVAD:
         wav = np.concatenate([sil, _speechlike(self.SR, 1.0), sil])
         trimmed = trim_long_silences(wav, self.SR, detector="gmm")
         assert 0 < len(trimmed) < len(wav)
+
+
+class TestResampleLength:
+    @pytest.mark.parametrize("n,a,b", [(1000, 8000, 16000),
+                                       (1001, 24000, 16000),
+                                       (777, 16000, 22050),
+                                       (16000, 22050, 16000)])
+    def test_output_length_is_ceil(self, n, a, b):
+        """resample_poly must honor its documented ceil(T*up/down) length
+        (regression: insufficient right conv padding silently truncated
+        the final sample(s) for some length/ratio combinations)."""
+        y = resample_poly(jnp.ones(n), a, b)
+        g = np.gcd(a, b)
+        assert y.shape[-1] == int(np.ceil(n * (b // g) / (a // g)))

@@ -91,3 +91,32 @@ class TestNativeVAD:
         third = len(mask) // 3
         assert not mask[:third - 1].any()
         assert mask[third + 1:2 * third - 1].all()
+
+
+class TestNativeDTW:
+    def test_matches_python_reference(self):
+        """Native accumulate+backtrack == the Python loop bit-for-bit
+        (same tie-breaking: diagonal, up, left)."""
+        import dvc_tpu.eval.mcd as M
+        from dvc_tpu import native
+
+        rng = np.random.RandomState(3)
+        for _ in range(6):
+            n, m = rng.randint(2, 60, 2)
+            x = rng.rand(n, 24)
+            y = rng.rand(m, 24)
+            px_n, py_n = M.dtw_path(x, y)
+            orig = native.available
+            native.available = lambda: False
+            try:
+                px_p, py_p = M.dtw_path(x, y)
+            finally:
+                native.available = orig
+            assert np.array_equal(px_n, px_p)
+            assert np.array_equal(py_n, py_p)
+
+    def test_degenerate_shapes(self):
+        from dvc_tpu import native
+        px, py = native.dtw_path(np.ones((1, 5)))
+        assert np.array_equal(px, np.zeros(5))
+        assert np.array_equal(py, np.arange(5))
