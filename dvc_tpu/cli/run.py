@@ -29,7 +29,9 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--epochs", type=int, default=200_000)
     p.add_argument("--latent-size", type=int, default=32)
     p.add_argument("--speaker_size", type=int, default=4)
-    p.add_argument("--samples_length", type=int, default=64)
+    p.add_argument("--samples_length", type=int, default=None,
+                   help="crop length in frames (default: 64 for mel, 128 "
+                        "for the WORLD-MCC path, the reference values)")
     p.add_argument("--report-interval", type=int, default=50)
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--mse_cof", type=float, default=10.0)
@@ -53,6 +55,12 @@ def _config_from_args(args) -> "Config":
     num_mels = 80
     if getattr(args, "features", "mel") == "mcc":
         num_mels = args.num_mcep
+    if getattr(args, "samples_length", None) is None:
+        # reference defaults: 64-frame mel crops (train.py:53), 128-frame
+        # MCC crops (SpeechDatasetMCC2) — keeping train and convert-world
+        # geometry consistent without explicit flags
+        args.samples_length = 128 if getattr(args, "features", "mel") == "mcc" \
+            else 64
     vae = C.VAEConfig(latent_dim=args.latent_size, speaker_size=args.speaker_size,
                       frames=args.samples_length, num_mels=num_mels)
     loss = C.LossConfig(mse_cof=args.mse_cof, kl_cof=args.kl_cof,
@@ -107,7 +115,7 @@ def cmd_convert(args) -> int:
     cfg = _config_from_args(args)
     trainer = Trainer(cfg,
                       checkpoints_path=os.path.join(args.log_dir, "checkpoints"))
-    epoch = trainer.load_last()
+    epoch = trainer.load_last(require=True)
     print(f"loaded checkpoint at epoch {epoch - 1}")
     variables = {"params": trainer.state.params,
                  "batch_stats": trainer.state.batch_stats}
@@ -133,6 +141,9 @@ def _run_world(args) -> None:
     from dvc_tpu.data.world_preprocess import preprocess_world_dataset
     for s in preprocess_world_dataset(args.dataset_fp, args.out_dir,
                                       num_mcep=args.num_mcep):
+        if s["n_files"] == 0:
+            print(f"{s['speaker']}: no wavs, skipped")
+            continue
         print(f"{s['speaker']}: {s['n_files']} files, "
               f"logf0 {s['logf0_mean']:.3f}±{s['logf0_std']:.3f}")
 
@@ -258,7 +269,7 @@ def cmd_convert_world(args) -> int:
     cfg = _config_from_args(args)
     trainer = Trainer(cfg,
                       checkpoints_path=os.path.join(args.log_dir, "checkpoints"))
-    epoch = trainer.load_last()
+    epoch = trainer.load_last(require=True)
     print(f"loaded MCC-VAE checkpoint at epoch {epoch - 1}")
     variables = {"params": trainer.state.params,
                  "batch_stats": trainer.state.batch_stats}
@@ -271,7 +282,8 @@ def cmd_convert_world(args) -> int:
     trg_logf0 = stats(f"log_f0_{args.trg_spk}.npz")
 
     src_fps = np.sort(glob(os.path.join(args.dataset_fp, args.src_spk, "*.npz")))
-    trg_fps = glob(os.path.join(args.dataset_fp, args.trg_spk, "*.npz"))
+    # sorted so --seed picks the same target utterance on any filesystem
+    trg_fps = sorted(glob(os.path.join(args.dataset_fp, args.trg_spk, "*.npz")))
     rng = np.random.RandomState(args.seed)
     out_dir = os.path.join(args.log_dir, "generation_world",
                            f"{args.src_spk}_to_{args.trg_spk}")
@@ -307,7 +319,8 @@ def cmd_embed(args) -> int:
     cfg = SpeakerEncoderConfig()
     trainer = SpeakerEncoderTrainer(cfg, run_id=args.run_id,
                                     models_dir=args.models_dir)
-    assert trainer.resume(), f"no {args.run_id} checkpoint in {args.models_dir}"
+    if not trainer.resume():
+        raise SystemExit(f"no {args.run_id} checkpoint in {args.models_dir}")
     embedder = SpeakerEmbedder(cfg)
     embedder.load(trainer.state.params)
 
@@ -457,7 +470,7 @@ def main(argv=None) -> int:
     p.add_argument("--src_spk", required=True)
     p.add_argument("--trg_spk", required=True)
     p.add_argument("--num_utterances", type=int, default=2)
-    p.set_defaults(fn=cmd_convert_world, samples_length=128)
+    p.set_defaults(fn=cmd_convert_world)
 
     p = sub.add_parser("embed")
     p.add_argument("run_id")

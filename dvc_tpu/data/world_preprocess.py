@@ -29,14 +29,15 @@ def preprocess_world_speaker(speaker_dir: str, out_dir: str,
                              save_sp_ap: bool = False) -> dict:
     """One speaker directory of wavs -> npz features + stats files."""
     spk = os.path.basename(os.path.normpath(speaker_dir))
-    spk_out = os.path.join(out_dir, spk)
-    os.makedirs(spk_out, exist_ok=True)
-
     wav_fps = sorted(glob.glob(os.path.join(speaker_dir, "*.wav")))
     if not wav_fps:
-        # an empty (or wav-free) speaker dir must not abort the whole run
+        # an empty (or wav-free) speaker dir must not abort the whole run —
+        # and must not create an empty out_dir subdir (PairedMCCDataset
+        # would count it as a speaker)
         print(f"  {spk}: no .wav files, skipped")
-        return
+        return {"speaker": spk, "n_files": 0, "n_frames": 0}
+    spk_out = os.path.join(out_dir, spk)
+    os.makedirs(spk_out, exist_ok=True)
 
     def analyze(fp):
         wav, sr = read_wav(fp)

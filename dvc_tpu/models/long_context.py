@@ -37,7 +37,6 @@ from dvc_tpu.models.layers import lstm_direction
 from dvc_tpu.ops.chunk import unchunk_mel
 from dvc_tpu.parallel.sequence import (
     frame_sharded_encode_conv_stack,
-    sequence_sharded_conv1d,
     sequence_sharded_lstm,
 )
 
@@ -90,16 +89,8 @@ def _encode_jit(cfg: VAEConfig, variables, mel: jax.Array,
     if mesh is None:
         h = _dense_conv_stack(x, enc_params, enc_stats)
     else:
-        h = x
-        for i in range(3):
-            kern = enc_params[f"conv{i}"]["conv"]["kernel"]
-            bias = enc_params[f"conv{i}"]["conv"]["bias"]
-            h = sequence_sharded_conv1d(h, kern, bias, mesh)
-            bn_p = enc_params[f"bn{i}"]["bn"]
-            bn_s = enc_stats[f"bn{i}"]["bn"]
-            h = (h - bn_s["mean"]) / jnp.sqrt(bn_s["var"] + 1e-5) \
-                * bn_p["scale"] + bn_p["bias"]
-            h = jax.nn.relu(h)
+        h = frame_sharded_encode_conv_stack(
+            x, {"params": enc_params, "batch_stats": enc_stats}, mesh)
     h = _bilstm(h, enc_params["lstm"], cfg.enc_lstm_layers, mesh)
 
     # per-chunk heads on the full-context LSTM output

@@ -45,10 +45,11 @@ def make_fs_step(model: FeatureSelection, optimizer) -> Callable:
         mask = model.apply({"params": params}, latents)
         pred = model.apply({"params": params}, latents * mask,
                            method="classify")
-        logprob = jnp.log(jnp.maximum(pred, 1e-12))
-        # reference applies CE to softmaxed outputs (feature_selection.py:42)
-        logits_like = jax.nn.log_softmax(logprob, axis=-1)
-        ce = -jnp.mean(jnp.take_along_axis(logits_like, labels[:, None], 1))
+        # reference quirk: F.cross_entropy applied to ALREADY-SOFTMAXED
+        # outputs (log_softmax of probabilities -> squashed gradients, NOT
+        # plain CE) — feature_selection_loss reproduces the composition
+        from dvc_tpu.models.feature_selection import feature_selection_loss
+        ce = feature_selection_loss(pred, labels)
         acc = jnp.mean((jnp.argmax(pred, -1) == labels).astype(jnp.float32))
         return ce, (mask, acc)
 

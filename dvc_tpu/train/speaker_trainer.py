@@ -146,6 +146,7 @@ class SpeakerEncoderTrainer:
         self.step_fn_light = make_ge2e_step(self.model, self.optimizer,
                                             self.cfg, with_sim=False,
                                             mesh=self.mesh)
+        self._embed_jit = None  # lazily-built jitted forward for projections
 
     # -- persistence ({step, model_state, optimizer_state}, train.py:47-54) --
 
@@ -225,10 +226,16 @@ class SpeakerEncoderTrainer:
                     vis.update(loss_f, eer, dt, step)
             if vis is not None and projection_every \
                     and step % projection_every == 0:
-                flat = np.asarray(batch).reshape(-1, batch.shape[-2],
-                                                 batch.shape[-1])
-                embeds = np.asarray(self.model.apply(
-                    {"params": self.state.params}, jnp.asarray(flat)))
+                if self._embed_jit is None:
+                    # cached jit: an eager apply here would dispatch the
+                    # 3-layer LSTM over (S*U, T, M) op-by-op every
+                    # projection, stalling the loop for seconds
+                    self._embed_jit = jax.jit(
+                        lambda p, x: self.model.apply({"params": p}, x))
+                flat = jnp.asarray(batch).reshape(-1, batch.shape[-2],
+                                                  batch.shape[-1])
+                embeds = np.asarray(
+                    self._embed_jit(self.state.params, flat))
                 vis.draw_projections(embeds, batch.shape[1], step)
             if self.models_dir and save_every and step % save_every == 0:
                 self.save()

@@ -186,12 +186,22 @@ class Trainer:
 
     # -- checkpointing (latest-wins by epoch parsed from the filename) ------
 
-    def load_last(self) -> int:
+    def load_last(self, require: bool = False) -> int:
+        """Resume from the newest checkpoint; returns the next epoch (1 when
+        none found).  require=True raises instead — for consumers like
+        `convert` where silently proceeding with random weights would write
+        garbage output."""
         if not self.checkpoints_path:
+            if require:
+                raise FileNotFoundError("no checkpoints_path configured")
             return 1
         loaded = ckpt_lib.load_last_checkpoint(self.checkpoints_path, self.state,
                                                shardings=self._state_shardings)
         if loaded is None:
+            if require:
+                raise FileNotFoundError(
+                    f"no checkpoint found under {self.checkpoints_path!r} — "
+                    "train first, or check --log_dir")
             return 1
         epoch, self.state = loaded
         if self._state_shardings is not None:
@@ -231,6 +241,9 @@ class Trainer:
         report_interval = report_interval or self.cfg.train.report_interval
         start_epoch = self.load_last() if reload_model else 1
         writer = self._get_writer()
+        # `epochs` counts ADDITIONAL epochs from the resume point — the
+        # reference's exact semantics (variational_base_vae.py:175 loops
+        # range(start_epoch, start_epoch + epochs)), not a total cap
         for epoch in range(start_epoch, start_epoch + epochs):
             t0 = time.time()
             totals = self.train_epoch(dataset, epoch)

@@ -102,12 +102,13 @@ def _external_decode(path: str) -> tuple[np.ndarray, int]:
 
 
 def write_wav(path: str, wav: np.ndarray, sample_rate: int = 16_000) -> None:
-    """Write float waveform as PCM16 (same convention as reference
-    preprocessing/utils.py:19-21: scale to int16 with clipping guard)."""
+    """Write float waveform as PCM16, peak-rescaled to full scale — the
+    reference's exact save_wav convention (preprocessing/utils.py:19-21:
+    wav *= 32767 / max(0.01, |wav|.max()))."""
     wav = np.asarray(wav, np.float64)
-    peak = max(0.01, float(np.max(np.abs(wav))) if wav.size else 0.01)
-    scaled = (wav * (32767 / max(1.0, peak / 1.0 if peak <= 1.0 else peak))
-              ).clip(-32768, 32767).astype(np.int16)
+    peak = float(np.max(np.abs(wav))) if wav.size else 0.0
+    scaled = (wav * (32767.0 / max(0.01, peak))) \
+        .clip(-32768, 32767).astype(np.int16)
     body = scaled.tobytes()
     hdr = b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
     hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
