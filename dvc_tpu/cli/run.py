@@ -137,6 +137,41 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """HTTP conversion service with cross-request micro-batching
+    (dvc_tpu/serve.py — additive serving capability)."""
+    from dvc_tpu.serve import ConversionService, make_http_server
+    from dvc_tpu.train.trainer import Trainer
+
+    cfg = _config_from_args(args)
+    trainer = Trainer(cfg,
+                      checkpoints_path=os.path.join(args.log_dir, "checkpoints"))
+    epoch = trainer.load_last(require=True)
+    print(f"loaded checkpoint at epoch {epoch - 1}")
+    variables = {"params": trainer.state.params,
+                 "batch_stats": trainer.state.batch_stats}
+
+    vocoder = None
+    if args.vocoder_ckpt:
+        from dvc_tpu.convert.vocode import make_vocoder
+        vocoder = make_vocoder(args.vocoder_ckpt)
+    elif args.vocoder == "griffinlim":
+        from dvc_tpu.convert.griffinlim import make_griffinlim_vocoder
+        vocoder = make_griffinlim_vocoder(cfg.audio, n_iter=args.gl_iters)
+
+    service = ConversionService(cfg, trainer.model, variables,
+                                args.dataset_fp, vocoder,
+                                max_wait_ms=args.max_wait_ms)
+    server = make_http_server(service, args.host, args.port)
+    print(f"serving on http://{args.host}:{args.port} "
+          f"({len(service.speakers())} target speakers)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
 def _run_world(args) -> None:
     from dvc_tpu.data.world_preprocess import preprocess_world_dataset
     for s in preprocess_world_dataset(args.dataset_fp, args.out_dir,
@@ -499,6 +534,20 @@ def main(argv=None) -> int:
     p.add_argument("--vocoder_ckpt", default="")
     p.add_argument("--gl_iters", type=int, default=32)
     p.set_defaults(fn=cmd_vocode)
+
+    p = sub.add_parser("serve")
+    _add_train_args(p)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=7860)
+    p.add_argument("--max_wait_ms", type=float, default=10.0,
+                   help="micro-batching window: how long the worker waits "
+                        "to aggregate concurrent requests into one device "
+                        "batch")
+    p.add_argument("--vocoder_ckpt", default="")
+    p.add_argument("--vocoder", default="griffinlim",
+                   choices=["none", "griffinlim"])
+    p.add_argument("--gl_iters", type=int, default=32)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("eval-mcd")
     p.add_argument("--src_dir", required=True)

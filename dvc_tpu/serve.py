@@ -1,0 +1,326 @@
+"""Production serving: an HTTP voice-conversion service with cross-request
+micro-batching.
+
+The reference is an offline research script (conversion.sh converts two
+utterances and exits); serving is an additive capability built on the same
+latent-swap math (convert/conversion.py) designed around the TPU execution
+model:
+
+  * target-speaker styles are precomputed ONCE per speaker (mean style_mu
+    over all of the speaker's 64-frame chunks — the reference's per-run
+    random-utterance style, conversion.py:105, replaced by the stabler
+    all-utterance mean) and cached on device;
+  * concurrent requests are drained into ONE device batch: every request's
+    chunks concatenate on the chunk axis (already the batch axis of the
+    conversion program), run through a single encode/decode/postnet pass,
+    and are split back per request — so the MXU sees one large matmul
+    stream instead of per-request dispatches;
+  * chunk-axis batch sizes are bucketed to powers of two (bounded XLA
+    recompiles, padded tails masked out);
+  * the vocoder runs through its `.batch` path (one Pallas launch / one
+    Griffin-Lim inversion for the whole drain).
+
+Endpoints (stdlib http.server; zero new dependencies):
+  GET  /health                      -> {"status": "ok", "speakers": [...]}
+  GET  /stats                       -> counters incl. batching ratio
+  POST /convert?trg_spk=<spk>       -> body: wav bytes; reply: wav bytes
+
+CLI: python -m dvc_tpu.cli.run serve --dataset_fp <mel_dir> --log_dir <run>
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from glob import glob
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dvc_tpu.config import Config
+from dvc_tpu.ops.chunk import chunk_mel
+
+
+def _bucket(n: int) -> int:
+    b = 1
+    while b < n:
+        b <<= 1
+    return b
+
+
+@dataclass
+class _Request:
+    mel: np.ndarray                       # (80, T)
+    trg_spk: str
+    done: threading.Event = field(default_factory=threading.Event)
+    result: np.ndarray | None = None
+    error: str | None = None
+
+
+class ConversionService:
+    """Device-side conversion engine with a micro-batching worker."""
+
+    def __init__(self, cfg: Config, model, variables, dataset_fp: str,
+                 vocoder=None, max_batch_chunks: int = 64,
+                 max_wait_ms: float = 10.0):
+        self.cfg = cfg
+        self.model = model
+        self.variables = variables
+        self.dataset_fp = dataset_fp
+        self.vocoder = vocoder
+        self.max_batch_chunks = max_batch_chunks
+        self.max_wait_ms = max_wait_ms
+        self._style_cache: dict[str, jnp.ndarray] = {}
+        self._style_lock = threading.Lock()
+        self._q: queue.Queue[_Request] = queue.Queue()
+        self.stats = {"requests": 0, "batches": 0, "chunks": 0,
+                      "errors": 0}
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+        frames = cfg.vae.frames
+
+        @jax.jit
+        def _convert(chunks, styles):
+            # chunks (N, 80, F), styles (N, S): encode source content, swap
+            # in the per-chunk target style, decode + postnet, clamp
+            _, _, content_mu, _ = model.apply(variables, chunks,
+                                              method="encode")
+            z = jnp.concatenate([styles, content_mu], axis=-1)
+            mel = model.apply(variables, z, method="decode")
+            mel = mel + model.apply(variables, mel, method="postnet")
+            return jnp.clip(mel, 0.0, 1.0)
+
+        @jax.jit
+        def _style_of(chunks):
+            style_mu, _, _, _ = model.apply(variables, chunks,
+                                            method="encode")
+            return jnp.mean(style_mu, axis=0)
+
+        self._convert = _convert
+        self._style_of = _style_of
+        self._frames = frames
+
+    # -- target styles -------------------------------------------------------
+
+    def speakers(self) -> list[str]:
+        return sorted(d for d in os.listdir(self.dataset_fp)
+                      if os.path.isdir(os.path.join(self.dataset_fp, d)))
+
+    def target_style(self, spk: str) -> jnp.ndarray:
+        with self._style_lock:
+            hit = self._style_cache.get(spk)
+            if hit is not None:
+                return hit
+        fps = sorted(glob(os.path.join(self.dataset_fp, spk, "*.npy")))
+        if not fps:
+            raise KeyError(f"unknown target speaker {spk!r}")
+        chunks = [chunk_mel(jnp.asarray(np.load(fp), jnp.float32),
+                            self._frames) for fp in fps]
+        style = self._style_of(jnp.concatenate(chunks, axis=0))
+        with self._style_lock:
+            self._style_cache[spk] = style
+        return style
+
+    # -- request path --------------------------------------------------------
+
+    def submit(self, mel: np.ndarray, trg_spk: str,
+               timeout: float = 120.0) -> np.ndarray:
+        req = _Request(mel=mel, trg_spk=trg_spk)
+        self._q.put(req)
+        if not req.done.wait(timeout):
+            raise TimeoutError("conversion timed out")
+        if req.error is not None:
+            raise RuntimeError(req.error)
+        return req.result
+
+    def _drain(self) -> list[_Request]:
+        """One micro-batch: block for the first request, then keep draining
+        until the chunk budget or the wait window is exhausted."""
+        first = self._q.get()
+        batch = [first]
+        chunks = first.mel.shape[1] // self._frames + 1
+        deadline = time.monotonic() + self.max_wait_ms / 1000.0
+        while chunks < self.max_batch_chunks:
+            remain = deadline - time.monotonic()
+            if remain <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=remain)
+            except queue.Empty:
+                break
+            batch.append(nxt)
+            chunks += nxt.mel.shape[1] // self._frames + 1
+        return batch
+
+    def _run(self):
+        while True:
+            batch = self._drain()
+            try:
+                self._process(batch)
+            except Exception as e:  # pragma: no cover - defensive
+                self.stats["errors"] += len(batch)
+                for r in batch:
+                    r.error = f"{type(e).__name__}: {e}"
+                    r.done.set()
+
+    def _process(self, batch: list[_Request]):
+        frames = self._frames
+        all_chunks, styles, spans = [], [], []
+        offset = 0
+        for r in batch:
+            try:
+                style = self.target_style(r.trg_spk)
+            except KeyError as e:
+                r.error = str(e)
+                r.done.set()
+                continue
+            c = chunk_mel(jnp.asarray(r.mel, jnp.float32), frames)
+            spans.append((r, offset, c.shape[0]))
+            offset += c.shape[0]
+            all_chunks.append(c)
+            styles.append(jnp.broadcast_to(style[None, :],
+                                           (c.shape[0], style.shape[-1])))
+        if not all_chunks:
+            return
+        chunks = jnp.concatenate(all_chunks, axis=0)
+        style_arr = jnp.concatenate(styles, axis=0)
+        n = chunks.shape[0]
+        nb = _bucket(max(n, 1))
+        if nb > n:  # pad to the bucket; padded chunks are discarded below
+            chunks = jnp.concatenate(
+                [chunks, jnp.zeros((nb - n,) + chunks.shape[1:],
+                                   chunks.dtype)], axis=0)
+            style_arr = jnp.concatenate(
+                [style_arr, jnp.zeros((nb - n, style_arr.shape[-1]),
+                                      style_arr.dtype)], axis=0)
+        out = np.asarray(self._convert(chunks, style_arr))[:n]
+
+        mels, owners = [], []
+        for r, start, count in spans:
+            mel = out[start:start + count]           # (count, 80, F)
+            mel = mel.transpose(1, 0, 2).reshape(mel.shape[1], -1)
+            mels.append(mel.astype(np.float32))
+            owners.append(r)
+        if self.vocoder is not None:
+            batch_fn = getattr(self.vocoder, "batch", None)
+            wavs = batch_fn(mels) if batch_fn is not None \
+                else [self.vocoder(m) for m in mels]
+        else:
+            wavs = mels  # mel-out mode (no vocoder): return the mel itself
+        for r, w in zip(owners, wavs):
+            r.result = np.asarray(w)
+            r.done.set()
+        self.stats["requests"] += len(owners)
+        self.stats["batches"] += 1
+        self.stats["chunks"] += n
+
+
+def make_http_server(service: ConversionService, host: str = "127.0.0.1",
+                     port: int = 7860) -> ThreadingHTTPServer:
+    from dvc_tpu.ops.mel import melspectrogram
+    from dvc_tpu.utils.wavio import write_wav
+
+    audio_cfg = service.cfg.audio
+    mel_fn = jax.jit(lambda w: melspectrogram(w, audio_cfg))
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *a):  # quiet by default
+            pass
+
+        def _json(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            path = urlparse(self.path).path
+            if path == "/health":
+                self._json(200, {"status": "ok",
+                                 "speakers": service.speakers()})
+            elif path == "/stats":
+                s = dict(service.stats)
+                s["batching_ratio"] = (s["requests"] / s["batches"]
+                                       if s["batches"] else 0.0)
+                self._json(200, s)
+            else:
+                self._json(404, {"error": f"unknown path {path}"})
+
+        def do_POST(self):
+            parsed = urlparse(self.path)
+            if parsed.path != "/convert":
+                self._json(404, {"error": f"unknown path {parsed.path}"})
+                return
+            q = parse_qs(parsed.query)
+            trg = q.get("trg_spk", [""])[0]
+            if not trg:
+                self._json(400, {"error": "trg_spk query parameter required"})
+                return
+            if trg not in service.speakers():
+                self._json(404, {"error": f"unknown target speaker {trg!r}"})
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            if length <= 0:
+                self._json(400, {"error": "wav body required"})
+                return
+            body = self.rfile.read(length)
+            try:
+                from dvc_tpu.utils.wavio import read_wav
+                import tempfile
+                with tempfile.NamedTemporaryFile(suffix=".wav",
+                                                 delete=False) as tmp:
+                    tmp.write(body)
+                    tmp_path = tmp.name
+                try:
+                    wav, sr = read_wav(tmp_path)
+                finally:
+                    os.unlink(tmp_path)
+                if sr != audio_cfg.sample_rate:
+                    from dvc_tpu.ops.audio import resample_poly
+                    wav = np.asarray(resample_poly(jnp.asarray(wav), sr,
+                                                   audio_cfg.sample_rate))
+                mel = np.asarray(mel_fn(jnp.asarray(wav, jnp.float32)))
+                out = service.submit(mel, trg)
+            except KeyError as e:
+                self._json(404, {"error": str(e)})
+                return
+            except Exception as e:
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
+            if service.vocoder is None:
+                # mel-out mode: npy bytes
+                buf = io.BytesIO()
+                np.save(buf, out)
+                payload = buf.getvalue()
+                ctype = "application/octet-stream"
+            else:
+                import tempfile
+                with tempfile.NamedTemporaryFile(suffix=".wav",
+                                                 delete=False) as tmp:
+                    tmp_path = tmp.name
+                try:
+                    write_wav(tmp_path, out, audio_cfg.sample_rate)
+                    with open(tmp_path, "rb") as f:
+                        payload = f.read()
+                finally:
+                    os.unlink(tmp_path)
+                ctype = "audio/wav"
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+    return ThreadingHTTPServer((host, port), Handler)

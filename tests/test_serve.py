@@ -1,0 +1,174 @@
+"""HTTP conversion service tests (dvc_tpu/serve.py): request path, target
+style cache, cross-request micro-batching, and error handling."""
+
+import io
+import json
+import threading
+import time
+import urllib.request
+import urllib.error
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dvc_tpu.config import Config, VAEConfig
+from dvc_tpu.models.disentangled_vae import DisentangledVAE
+from dvc_tpu.serve import ConversionService, make_http_server
+
+CFG = Config(vae=VAEConfig(frames=16, dim_neck=8, enc_channels=32,
+                           dim_pre=32, dec_lstm2_hidden=32,
+                           postnet_channels=32))
+
+
+@pytest.fixture(scope="module")
+def service(tmp_path_factory):
+    model = DisentangledVAE(CFG.vae)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((2, CFG.vae.num_mels, CFG.vae.frames), jnp.float32)
+    variables = model.init({"params": rng, "reparam": rng}, x, x, train=True)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+
+    mel_dir = tmp_path_factory.mktemp("mels")
+    np_rng = np.random.RandomState(0)
+    for spk in ("p1", "p2"):
+        d = mel_dir / spk
+        d.mkdir()
+        for i in range(2):
+            np.save(d / f"{spk}_{i:03d}_mel.npy",
+                    np_rng.rand(80, 40).astype(np.float32))
+    # no vocoder: mel-out mode; generous wait window so concurrent
+    # requests land in one batch deterministically
+    return ConversionService(CFG, model, variables, str(mel_dir),
+                             vocoder=None, max_wait_ms=300.0)
+
+
+@pytest.fixture(scope="module")
+def server(service):
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    srv = make_http_server(service, "127.0.0.1", port)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}"
+    srv.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post_wav(url, wav_bytes):
+    req = urllib.request.Request(url, data=wav_bytes, method="POST")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.status, r.read()
+
+
+def _wav_bytes(seconds=0.4, seed=0):
+    import tempfile, os
+    from dvc_tpu.utils.wavio import write_wav
+    rng = np.random.RandomState(seed)
+    t = np.arange(int(16000 * seconds)) / 16000
+    wav = (0.4 * np.sin(2 * np.pi * 200 * t)
+           + 0.02 * rng.randn(len(t))).astype(np.float32)
+    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+        path = f.name
+    write_wav(path, wav, 16000)
+    with open(path, "rb") as f:
+        data = f.read()
+    os.unlink(path)
+    return data
+
+
+class TestServiceDirect:
+    def test_target_style_cached(self, service):
+        s1 = service.target_style("p1")
+        s2 = service.target_style("p1")
+        assert s1 is s2
+        assert s1.shape == (2 * CFG.vae.speaker_size // 2,)
+
+    def test_unknown_speaker(self, service):
+        with pytest.raises(RuntimeError, match="unknown target speaker"):
+            service.submit(np.random.rand(80, 20).astype(np.float32), "nope")
+
+    def test_submit_returns_mel(self, service):
+        mel = np.random.RandomState(1).rand(80, 33).astype(np.float32)
+        out = service.submit(mel, "p2")
+        n_chunks = 33 // CFG.vae.frames + 1
+        assert out.shape == (80, n_chunks * CFG.vae.frames)
+        assert np.isfinite(out).all()
+        assert 0.0 <= out.min() and out.max() <= 1.0
+
+    def test_micro_batching_aggregates(self, service):
+        before = dict(service.stats)
+        mels = [np.random.RandomState(i).rand(80, 20).astype(np.float32)
+                for i in range(4)]
+        results = [None] * 4
+
+        def worker(i):
+            results[i] = service.submit(mels[i], "p1")
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert all(r is not None and np.isfinite(r).all() for r in results)
+        dreq = service.stats["requests"] - before["requests"]
+        dbat = service.stats["batches"] - before["batches"]
+        assert dreq == 4
+        # the 300 ms window must have merged at least two requests
+        assert dbat < dreq
+
+    def test_batched_equals_solo(self, service):
+        """Micro-batched conversion must be value-identical to a solo
+        request (padding/bucketing cannot leak between requests)."""
+        mel = np.random.RandomState(9).rand(80, 20).astype(np.float32)
+        solo = service.submit(mel, "p1")
+        outs = [None, None]
+
+        def w(i):
+            outs[i] = service.submit(mel, "p1")
+
+        ts = [threading.Thread(target=w, args=(i,)) for i in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        np.testing.assert_allclose(outs[0], solo, rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(outs[1], solo, rtol=2e-5, atol=1e-6)
+
+
+class TestHTTP:
+    def test_health(self, server):
+        code, body = _get(server + "/health")
+        assert code == 200
+        assert body["speakers"] == ["p1", "p2"]
+
+    def test_convert_roundtrip(self, server):
+        code, payload = _post_wav(server + "/convert?trg_spk=p1",
+                                  _wav_bytes())
+        assert code == 200
+        mel = np.load(io.BytesIO(payload))  # mel-out mode: npy body
+        assert mel.shape[0] == 80 and np.isfinite(mel).all()
+
+    def test_missing_target(self, server):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_wav(server + "/convert", _wav_bytes())
+        assert e.value.code == 400
+
+    def test_unknown_speaker_404(self, server):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_wav(server + "/convert?trg_spk=ghost", _wav_bytes())
+        assert e.value.code == 404
+
+    def test_stats(self, server):
+        code, body = _get(server + "/stats")
+        assert code == 200
+        assert body["requests"] >= 1 and body["batches"] >= 1
