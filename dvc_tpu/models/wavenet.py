@@ -48,30 +48,45 @@ class _UpsampleNetwork(nn.Module):
 
     @nn.compact
     def __call__(self, c: jax.Array) -> jax.Array:
-        # c: (B, T_frames, C) -> (B, T_frames * hop, C); NHWC view (B, T, C, 1)
-        x = c[..., None]
+        # c: (B, T_frames, C) -> (B, T_frames * hop, C)
+        x = c
         kf = self.cfg.freq_axis_kernel_size
+        n_mels = c.shape[-1]
         for i, s in enumerate(self.cfg.upsample_scales):
             # torch ConvTranspose2d(1, 1, (kf, 2s), stride=(1, s),
-            # padding=((kf-1)//2, s//2)) over a (B, 1, C, T) view; here the
-            # view is (B, T, C, 1) so (time, freq) = (2s, kf).  ConvTranspose
-            # == input-dilated correlation with the FLIPPED kernel and padding
-            # k-1-p per side; kernel param kept in torch layout (kf, 2s) so
-            # checkpoints convert by reshape only.
+            # padding=((kf-1)//2, s//2)) over a (B, 1, C, T) view.
+            # ConvTranspose == input-dilated correlation with the FLIPPED
+            # kernel and padding k-1-p per side; kernel param kept in torch
+            # layout (kf, 2s) so checkpoints convert by reshape only.
+            #
+            # TPU layout: expressed as a TIME-axis 1-D conv whose (2s, C, C)
+            # kernel is the BANDED expansion of the tiny (2s, kf) filter
+            # along the mel axis — identical math (out-of-range band entries
+            # are zero, reproducing the frequency zero-padding), but the mel
+            # bins sit on the 128-lane axis.  The naive (B, T, C, 1) NHWC
+            # formulation put the size-1 dim on lanes: XLA padded it 128x
+            # (a (8, 49k, 80, 1) temp ballooned 120 MB -> 15 GB of HBM).
             kernel = self.param(f"up{i}_kernel",
                                 nn.initializers.constant(1.0 / (2 * s * kf)),
                                 (kf, 2 * s))
             bias = self.param(f"up{i}_bias", nn.initializers.zeros, (1,))
-            w = jnp.flip(kernel, (0, 1)).T[:, :, None, None]  # (2s, kf, 1, 1)
+            w = jnp.flip(kernel, (0, 1)).T  # (2s, kf)
             pt = 2 * s - 1 - s // 2
             pf = kf - 1 - (kf - 1) // 2
+            ci = jnp.arange(n_mels)[:, None]
+            co = jnp.arange(n_mels)[None, :]
+            df = ci - co + pf                       # (C, C) band offsets
+            valid = (df >= 0) & (df < kf)
+            banded = jnp.where(valid[None, :, :],
+                               w[:, jnp.clip(df, 0, kf - 1)],
+                               0.0)                 # (2s, C, C) = (H, I, O)
             x = jax.lax.conv_general_dilated(
-                x, w, window_strides=(1, 1),
-                padding=[(pt, pt), (pf, pf)],
-                lhs_dilation=(s, 1),
-                dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+                x, banded, window_strides=(1,),
+                padding=[(pt, pt)],
+                lhs_dilation=(s,),
+                dimension_numbers=("NHC", "HIO", "NHC")) + bias
             x = nn.relu(x)
-        return x[..., 0]  # (B, T*hop, C)
+        return x  # (B, T*hop, C)
 
 
 class _ResidualGLU(nn.Module):

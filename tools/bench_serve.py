@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Serving-path benchmark: concurrent conversion requests through the
+micro-batching ConversionService (dvc_tpu/serve.py) with the full-size VAE
+and the Pallas WaveNet vocoder.
+
+Measures wall-clock for N concurrent ~3 s requests submitted at once (the
+service drains them into device batches), and reports aggregate
+audio-seconds per second plus the achieved batching ratio.
+
+    python tools/bench_serve.py [--requests 8] [--frames 188]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import threading
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+class PallasVocoder:
+    """Minimal vocoder protocol over pallas_generate (batch-first)."""
+
+    def __init__(self, wn_vars, vcfg):
+        self.wn_vars = wn_vars
+        self.vcfg = vcfg
+
+    def batch(self, mels):
+        import jax.numpy as jnp
+        from dvc_tpu.kernels.wavenet_step import pallas_generate
+        hop = 256
+        ts = [m.shape[1] for m in mels]
+        t_max = max(ts)
+        stack = np.zeros((len(mels), t_max, mels[0].shape[0]), np.float32)
+        for i, m in enumerate(mels):
+            stack[i, :m.shape[1], :] = np.asarray(m, np.float32).T
+        wavs = np.asarray(pallas_generate(self.wn_vars, jnp.asarray(stack),
+                                          seed=7, cfg=self.vcfg))
+        return [wavs[i, :ts[i] * hop] for i in range(len(mels))]
+
+    def __call__(self, mel):
+        return self.batch([mel])[0]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--requests", type=int, default=8)
+    ap.add_argument("--frames", type=int, default=188)  # ~3 s utterances
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(REPO, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
+    from dvc_tpu import config as C
+    from dvc_tpu.models.disentangled_vae import DisentangledVAE
+    from dvc_tpu.models.wavenet import WaveNet
+    from dvc_tpu.serve import ConversionService
+
+    cfg = C.Config()
+    model = DisentangledVAE(cfg.vae)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((2, 80, 64))
+    variables = model.init({"params": rng, "reparam": rng}, x, x, train=True)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+    vcfg = C.VocoderConfig()
+    wn_vars = WaveNet(vcfg).init(jax.random.PRNGKey(1),
+                                 jnp.zeros((1, 4 * 256, 1)),
+                                 jnp.zeros((1, 4, 80)))
+    vocoder = PallasVocoder(wn_vars, vcfg)
+
+    np_rng = np.random.RandomState(0)
+    with tempfile.TemporaryDirectory() as mel_dir:
+        d = os.path.join(mel_dir, "trg")
+        os.makedirs(d)
+        for i in range(3):
+            np.save(os.path.join(d, f"trg_{i:03d}_mel.npy"),
+                    np_rng.rand(80, 120).astype(np.float32))
+        service = ConversionService(cfg, model, variables, mel_dir,
+                                    vocoder=vocoder,
+                                    max_batch_chunks=args.requests * 4,
+                                    max_wait_ms=200.0)
+        mels = [np_rng.rand(80, args.frames).astype(np.float32)
+                for _ in range(args.requests)]
+
+        def run_all():
+            outs = [None] * len(mels)
+
+            def w(i):
+                outs[i] = service.submit(mels[i], "trg", timeout=1800)
+
+            ts = [threading.Thread(target=w, args=(i,))
+                  for i in range(len(mels))]
+            t0 = time.perf_counter()
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+            dt = time.perf_counter() - t0
+            assert all(o is not None and np.isfinite(o).all() for o in outs)
+            return dt, outs
+
+        run_all()  # warm-up (compiles)
+        best = 1e9
+        for _ in range(3):
+            dt, outs = run_all()
+            best = min(best, dt)
+        audio_s = sum(len(o) for o in outs) / 16000.0
+        s = service.stats
+        print(json.dumps({
+            "metric": "serve_concurrent_requests_realtime_x",
+            "value": round(audio_s / best, 1), "unit": "x realtime aggregate",
+            "requests": args.requests, "audio_s": round(audio_s, 1),
+            "wall_s": round(best, 3),
+            "batching_ratio": round(s["requests"] / max(1, s["batches"]), 2),
+        }))
+
+
+if __name__ == "__main__":
+    main()
