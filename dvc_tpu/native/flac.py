@@ -56,8 +56,12 @@ def read_flac(path: str) -> tuple[np.ndarray, int]:
     if lib.dvc_flac_info(buf, len(data), ctypes.byref(sr), ctypes.byref(ch),
                          ctypes.byref(total)) != 0:
         raise ValueError(f"{path}: not a decodable FLAC file")
-    capacity = int(total.value) if total.value > 0 \
-        else min(8 * len(data) + 65536, 1 << 30)
+    # Start from a file-size heuristic even when the header states a total:
+    # a corrupt/hostile STREAMINFO can claim up to 2^36 samples (a 256 GB
+    # buffer) while the grow-and-retry loop below reaches any REAL size in
+    # a few doublings.  The claimed total only caps the growth.
+    claimed = int(total.value) if total.value > 0 else 1 << 30
+    capacity = min(claimed, max(8 * len(data) + 65536, 1 << 16))
     while True:
         out = np.zeros(capacity, np.float32)
         got = lib.dvc_flac_decode(
@@ -65,9 +69,8 @@ def read_flac(path: str) -> tuple[np.ndarray, int]:
             capacity)
         if got < 0:
             raise ValueError(f"{path}: FLAC frame decode failed")
-        # unknown total_samples (spec-legal): a full buffer may mean the
-        # compression ratio beat the heuristic — grow and retry rather than
-        # silently truncate
-        if total.value > 0 or got < capacity or capacity >= (1 << 30):
+        # a full buffer may mean constant-subframe compression beat the
+        # heuristic — grow and retry rather than silently truncate
+        if got < capacity or capacity >= min(claimed, 1 << 30):
             return out[:got], int(sr.value)
-        capacity = min(capacity * 4, 1 << 30)
+        capacity = min(capacity * 4, claimed, 1 << 30)

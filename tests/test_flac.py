@@ -203,3 +203,21 @@ class TestVoxCeleb2Preprocess:
                            "vid0", "00001.m4a")
         with pytest.raises(NotImplementedError, match="ffmpeg"):
             read_audio(m4a)
+
+
+class TestHostileHeader:
+    def test_huge_claimed_total_samples(self, tmp_path):
+        """A corrupt/hostile STREAMINFO claiming 2^36-1 total samples must
+        not drive a 256 GB allocation: decoding starts from a file-size
+        heuristic and grows only as far as real frames decode."""
+        wav = 0.3 * np.sin(2 * np.pi * 220 * np.arange(4000) / FS)
+        p = tmp_path / "big_claim.flac"
+        write_flac(str(p), wav, FS)
+        data = bytearray(p.read_bytes())
+        # STREAMINFO body starts at offset 8; total_samples is bits 108-143
+        data[8 + 13] |= 0x0F
+        for i in range(14, 18):
+            data[8 + i] = 0xFF
+        p.write_bytes(bytes(data))
+        got, sr = native_flac.read_flac(str(p))
+        assert sr == FS and len(got) == 4000
