@@ -217,6 +217,31 @@ class Trainer:
 
     # -- epoch loops ---------------------------------------------------------
 
+    def _effective_batch_size(self, dataset) -> int:
+        """Static-shape batch sizing.  Partial batches are dropped (one
+        compiled shape — a deliberate TPU-first deviation from the
+        reference DataLoader's drop_last=False), so a dataset SMALLER than
+        the configured batch would silently train zero batches per epoch;
+        clamp to the pair count (kept divisible by the data-mesh axis) so
+        tiny corpora still train, and fail loudly when nothing can."""
+        bs = self.cfg.train.batch_size
+        n_pairs = len(dataset)
+        if n_pairs >= bs:
+            return bs
+        dp = self.mesh.shape[self.mesh.axis_names[0]] \
+            if self.mesh is not None else 1
+        eff = (n_pairs // dp) * dp
+        if eff <= 0:
+            raise ValueError(
+                f"dataset yields only {n_pairs} same-speaker pairs — fewer "
+                f"than the {dp}-way data-parallel mesh needs; reduce "
+                "devices or add data")
+        if not getattr(self, "_clamp_logged", False):
+            print(f"batch_size {bs} > {n_pairs} available pairs; "
+                  f"training with batch {eff}")
+            self._clamp_logged = True
+        return eff
+
     def train_epoch(self, dataset, epoch: int) -> dict[str, float]:
         """One pass over the paired dataset; returns summed loss terms."""
         from dvc_tpu.data.dataset import prefetch
@@ -224,7 +249,7 @@ class Trainer:
         totals = np.zeros(8, np.float64)
         n_batches = 0
         for x1, x2, _spk in prefetch(
-                dataset.batches(self.cfg.train.batch_size)):
+                dataset.batches(self._effective_batch_size(dataset))):
             if self.mesh is not None:
                 x1, x2 = shard_batch((x1, x2), self.mesh)
             self.state, terms = self.train_step(self.state, x1, x2, self._rng)
@@ -266,7 +291,8 @@ class Trainer:
                     try:
                         self.estimate_trained_model(dataset, self.estimation_dir)
                     except Exception as e:  # plotting is best-effort
-                        logging_func(f"estimation dump failed: {e}")
+                        logging_func(
+                            f"estimation dump failed: {type(e).__name__}: {e}")
         return self.state
 
     def evaluate(self, dataset, logging_func=print) -> dict[str, float]:
@@ -297,8 +323,8 @@ class Trainer:
         import os
         epoch = self.load_last() - 1
         os.makedirs(estimation_dir, exist_ok=True)
-        x1, x2, _ = next(iter(dataset.batches(self.cfg.train.batch_size,
-                                              shuffle=False)))
+        bs = min(self.cfg.train.batch_size, max(1, len(dataset)))
+        x1, x2, _ = next(iter(dataset.batches(bs, shuffle=False)))
         variables = {"params": self.state.params,
                      "batch_stats": self.state.batch_stats}
         outs = self.model.apply(variables, jnp.asarray(x1), jnp.asarray(x2),

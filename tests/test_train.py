@@ -131,6 +131,21 @@ class TestTrainerEndToEnd:
         assert np.isfinite(out["total"])
         assert out["mse_x1"] > 0
 
+    def test_dataset_smaller_than_batch_still_trains(self, tmp_path):
+        """Static-shape batching drops partial batches, so a corpus with
+        fewer pairs than batch_size used to train ZERO batches per epoch
+        silently (1500 no-op epochs observed); the batch now clamps to the
+        pair count."""
+        _make_fake_mel_tree(str(tmp_path / "mels"))
+        cfg = tiny_config(batch_size=64)  # far more than the fake corpus
+        ds = PairedMelDataset(str(tmp_path / "mels"), samples_length=16,
+                              seed=0)
+        assert 0 < len(ds) < 64
+        tr = Trainer(cfg, use_mesh=False)
+        totals = tr.train_epoch(ds, 1)
+        assert totals["n_batches"] >= 1
+        assert np.isfinite(totals["total"])
+
     def test_one_epoch_and_resume(self, tmp_path):
         _make_fake_mel_tree(str(tmp_path / "mels"))
         cfg = tiny_config(batch_size=2)
