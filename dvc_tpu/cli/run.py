@@ -233,7 +233,8 @@ def cmd_train_fs(args) -> int:
     latents, labels = [], []
     fs_trainer = FeatureSelectionTrainer(cfg.vae.latent_dim,
                                          num_spk=len(ds.speaker_ids))
-    for x1, _x2, spk in ds.batches(cfg.train.batch_size, shuffle=False):
+    fs_bs = min(cfg.train.batch_size, max(1, len(ds)))
+    for x1, _x2, spk in ds.batches(fs_bs, shuffle=False):
         latents.append(fs_trainer.encode_latents(trainer.model, variables, x1))
         labels.append(spk)
     latents = np.concatenate(latents)

@@ -304,8 +304,8 @@ class Trainer:
         eval_step = self._eval_step
         totals = np.zeros(8, np.float64)
         n = 0
-        for x1, x2, _spk in dataset.batches(self.cfg.train.batch_size,
-                                            shuffle=False):
+        for x1, x2, _spk in dataset.batches(
+                self._effective_batch_size(dataset), shuffle=False):
             terms = eval_step(self.state, jnp.asarray(x1), jnp.asarray(x2))
             totals += np.asarray(jax.device_get(terms), np.float64)
             n += 1
