@@ -137,6 +137,80 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_train_autovc(args) -> int:
+    """AutoVC baseline training (reference ships the models,
+    autovc_replicate/, with no runnable trainer — additive completion:
+    reconstruction + content-consistency objective of Qian et al. 2019,
+    conditioned on GE2E embeddings or a one-hot bootstrap code)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import serialization
+
+    from dvc_tpu.config import AutoVCConfig, SpeakerEncoderConfig
+    from dvc_tpu.data.dataset import PairedMelDataset
+    from dvc_tpu.train.autovc_trainer import (
+        create_autovc_state,
+        make_autovc_step,
+    )
+
+    ds = PairedMelDataset(args.dataset_fp, samples_length=args.samples_length)
+    acfg = AutoVCConfig()
+
+    # per-speaker conditioning table
+    emb_table = np.zeros((len(ds.speaker_ids), acfg.dim_emb), np.float32)
+    if args.encoder_run_id:
+        from dvc_tpu.models.speaker_inference import SpeakerEmbedder
+        from dvc_tpu.train.speaker_trainer import SpeakerEncoderTrainer
+        tr = SpeakerEncoderTrainer(SpeakerEncoderConfig(),
+                                   run_id=args.encoder_run_id,
+                                   models_dir=args.models_dir)
+        if not tr.resume():
+            raise SystemExit(f"no {args.encoder_run_id} checkpoint in "
+                             f"{args.models_dir}")
+        embedder = SpeakerEmbedder()
+        embedder.load(tr.state.params)
+        win = embedder.cfg.partials_n_frames
+        for si, utts in enumerate(ds.spk_utt):
+            crops = []
+            for fp in utts[:8]:
+                m = np.load(fp).T  # (T, 80)
+                if len(m) < win:
+                    m = np.pad(m, ((0, win - len(m)), (0, 0)))
+                start = max(0, (len(m) - win) // 2)
+                crops.append(m[start:start + win])
+            embs = embedder.embed_frames_batch(np.stack(crops))
+            mean = embs.mean(axis=0)
+            emb_table[si] = mean / max(1e-8, np.linalg.norm(mean))
+    else:
+        # bootstrap: fixed one-hot speaker codes (documented stand-in for a
+        # trained GE2E encoder; fine for smoke runs and small corpora)
+        for si in range(len(ds.speaker_ids)):
+            emb_table[si, si % acfg.dim_emb] = 1.0
+
+    model, state, optimizer = create_autovc_state(
+        jax.random.PRNGKey(args.seed), acfg, lr=args.lr,
+        frames=args.samples_length)
+    step = make_autovc_step(model, optimizer)
+    os.makedirs(args.log_dir, exist_ok=True)
+    bs = min(args.batch_size, max(1, len(ds)))
+    for epoch in range(1, args.epochs + 1):
+        total = n = 0.0
+        for x1, _x2, spk in ds.batches(bs):
+            x = jnp.asarray(np.transpose(x1, (0, 2, 1)))  # (B, T, 80)
+            emb = jnp.asarray(emb_table[np.asarray(spk)])
+            state, loss, l_recon, l_content = step(state, x, emb)
+            total += float(loss)
+            n += 1
+        ds.shuffle_data()
+        print(f"====> AutoVC epoch {epoch}: loss {total / max(n, 1):.4f}")
+        if epoch % args.report_interval == 0 or epoch == args.epochs:
+            out = os.path.join(args.log_dir, f"autovc_{epoch}.msgpack")
+            with open(out, "wb") as f:
+                f.write(serialization.to_bytes(state))
+    return 0
+
+
 def cmd_serve(args) -> int:
     """HTTP conversion service with cross-request micro-batching
     (dvc_tpu/serve.py — additive serving capability)."""
@@ -535,6 +609,15 @@ def main(argv=None) -> int:
     p.add_argument("--vocoder_ckpt", default="")
     p.add_argument("--gl_iters", type=int, default=32)
     p.set_defaults(fn=cmd_vocode)
+
+    p = sub.add_parser("train-autovc")
+    _add_train_args(p)
+    p.add_argument("--encoder_run_id", default="",
+                   help="GE2E run id for speaker embeddings (one-hot "
+                        "bootstrap codes when omitted)")
+    p.add_argument("-m", "--models_dir", default="",
+                   help="GE2E models dir (with --encoder_run_id)")
+    p.set_defaults(fn=cmd_train_autovc)
 
     p = sub.add_parser("serve")
     _add_train_args(p)
