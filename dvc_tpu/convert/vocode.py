@@ -36,18 +36,21 @@ def load_vocoder_params(ckpt_path: str, cfg: VocoderConfig = VocoderConfig()) ->
     return serialization.from_bytes(target, data)
 
 
-def make_vocoder(ckpt_path: str, cfg: VocoderConfig = VocoderConfig(),
+def make_vocoder(ckpt_path: str | None, cfg: VocoderConfig = VocoderConfig(),
                  seed: int = 0, backend: str = "auto",
-                 pad_frames_to: int = 32) -> Callable[[np.ndarray], np.ndarray]:
+                 pad_frames_to: int = 32,
+                 variables=None) -> Callable[[np.ndarray], np.ndarray]:
     """Returns wavegen: (80, T) normalized mel -> (T * 256,) float waveform.
 
     backend: "pallas" (fused TPU kernel), "scan" (lax.scan sampler, any
     backend), or "auto" (pallas on TPU, scan elsewhere).  Mel frames are
     zero-padded to `pad_frames_to` buckets so utterances of any length reuse
     a handful of compiled programs; the waveform is cropped to the true
-    T * hop samples.
+    T * hop samples.  Pass `variables` to use an in-memory param tree
+    instead of a checkpoint file.
     """
-    variables = load_vocoder_params(ckpt_path, cfg)
+    if variables is None:
+        variables = load_vocoder_params(ckpt_path, cfg)
     rng = jax.random.PRNGKey(seed)
     hop = int(np.prod(cfg.upsample_scales))
     if backend == "auto":

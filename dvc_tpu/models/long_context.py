@@ -41,8 +41,8 @@ from dvc_tpu.parallel.sequence import (
 )
 
 
-def _dense_conv_stack(x: jax.Array, enc_params: dict, enc_stats: dict
-                      ) -> jax.Array:
+def _dense_conv_stack(x: jax.Array, enc_params: dict, enc_stats: dict,
+                      eps: float) -> jax.Array:
     """Single-device image of frame_sharded_encode_conv_stack (BN in
     inference mode)."""
     h = x
@@ -55,7 +55,7 @@ def _dense_conv_stack(x: jax.Array, enc_params: dict, enc_stats: dict
             dimension_numbers=("NHC", "HIO", "NHC")) + bias
         bn_p = enc_params[f"bn{i}"]["bn"]
         bn_s = enc_stats[f"bn{i}"]["bn"]
-        h = (h - bn_s["mean"]) / jnp.sqrt(bn_s["var"] + 1e-5) \
+        h = (h - bn_s["mean"]) / jnp.sqrt(bn_s["var"] + eps) \
             * bn_p["scale"] + bn_p["bias"]
         h = jax.nn.relu(h)
     return h
@@ -87,10 +87,11 @@ def _encode_jit(cfg: VAEConfig, variables, mel: jax.Array,
     enc_stats = variables["batch_stats"]["encoder"]
     x = jnp.swapaxes(mel, -1, -2)  # (B, T, n_mels)
     if mesh is None:
-        h = _dense_conv_stack(x, enc_params, enc_stats)
+        h = _dense_conv_stack(x, enc_params, enc_stats, cfg.bn_eps)
     else:
         h = frame_sharded_encode_conv_stack(
-            x, {"params": enc_params, "batch_stats": enc_stats}, mesh)
+            x, {"params": enc_params, "batch_stats": enc_stats}, mesh,
+            eps=cfg.bn_eps)
     h = _bilstm(h, enc_params["lstm"], cfg.enc_lstm_layers, mesh)
 
     # per-chunk heads on the full-context LSTM output
@@ -110,13 +111,22 @@ def _encode_jit(cfg: VAEConfig, variables, mel: jax.Array,
 
 def whole_utterance_encode(cfg: VAEConfig, variables, mel,
                            mesh: Mesh | None = None):
-    """Full-context encode of (B, n_mels, T) mels (T zero-padded up to a
-    64-frame multiple, reference chunking_mel's padding rule).
+    """Full-context encode of (B, n_mels, T) mels (T zero-padded up to the
+    next 64-frame multiple).
 
     Returns per-chunk posteriors (style_mu, style_logvar, content_mu,
     content_logvar), each (B, n_chunks, dim).  With T == cfg.frames and no
     mesh this equals `model.encode` exactly; for longer T the receptive
     field crosses chunk boundaries — the point of the variant.
+
+    DELIBERATE deviation from the reference chunk count: chunk_mel always
+    emits T//frames + 1 chunks (an all-zero final chunk at exact
+    multiples, ops/chunk.py), which is harmless there because chunks are
+    independent; HERE an artificial zero chunk would smear fake context
+    into the real chunks through the biLSTM, so exact multiples use
+    exactly T/frames chunks.  Consequence: at exact multiples the
+    long-context conversion output is one 64-frame chunk SHORTER than the
+    chunked path's, and the style mean has no zero-chunk term.
     """
     mel = jnp.asarray(mel, jnp.float32)
     t = mel.shape[-1]

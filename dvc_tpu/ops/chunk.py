@@ -17,13 +17,20 @@ import jax
 import jax.numpy as jnp
 
 
+def num_chunks(t: int, frames: int = 64) -> int:
+    """The reference chunk count for a T-frame mel: T//frames + 1 (an
+    all-zero final chunk when T divides exactly — see module docstring).
+    Shared by chunk_mel and every consumer that budgets by chunks."""
+    return t // frames + 1
+
+
 def chunk_mel(mel: jax.Array, frames: int = 64) -> jax.Array:
-    """(n_mels, T) -> (num_chunks, n_mels, frames) with num_chunks = T//frames + 1."""
+    """(n_mels, T) -> (num_chunks(T), n_mels, frames)."""
     n_mels, t = mel.shape
-    num_chunks = t // frames + 1
-    padded = jnp.pad(mel, ((0, 0), (0, num_chunks * frames - t)))
+    n = num_chunks(t, frames)
+    padded = jnp.pad(mel, ((0, 0), (0, n * frames - t)))
     # (n_mels, C, frames) -> (C, n_mels, frames)
-    return padded.reshape(n_mels, num_chunks, frames).transpose(1, 0, 2)
+    return padded.reshape(n_mels, n, frames).transpose(1, 0, 2)
 
 
 def unchunk_mel(chunks: jax.Array, total_frames: int | None = None) -> jax.Array:

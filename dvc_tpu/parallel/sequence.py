@@ -186,7 +186,8 @@ def sequence_sharded_lstm(x: jax.Array, w_ih: jax.Array, w_hh: jax.Array,
 
 
 def frame_sharded_encode_conv_stack(x: jax.Array, params: dict, mesh: Mesh,
-                                    train: bool = False) -> jax.Array:
+                                    train: bool = False,
+                                    eps: float = 1e-5) -> jax.Array:
     """The DisentangledVAE encoder's 3-conv stack with the frame axis sharded
     (BatchNorm in inference mode — running stats are position-independent, so
     sharding is exact; train-mode batch stats would need a psum, which
@@ -205,7 +206,7 @@ def frame_sharded_encode_conv_stack(x: jax.Array, params: dict, mesh: Mesh,
         h = sequence_sharded_conv1d(h, kern, bias, mesh)
         bn_p = p[f"bn{i}"]["bn"]
         bn_s = bs[f"bn{i}"]["bn"]
-        h = (h - bn_s["mean"]) / jnp.sqrt(bn_s["var"] + 1e-5) \
+        h = (h - bn_s["mean"]) / jnp.sqrt(bn_s["var"] + eps) \
             * bn_p["scale"] + bn_p["bias"]
         h = jax.nn.relu(h)
     return h

@@ -47,7 +47,11 @@ import jax
 import jax.numpy as jnp
 
 from dvc_tpu.config import Config
-from dvc_tpu.ops.chunk import chunk_mel
+from dvc_tpu.ops.chunk import chunk_mel, num_chunks
+
+
+class ServiceOverloaded(Exception):
+    """Request queue at capacity — clients should back off (HTTP 503)."""
 
 
 def _bucket(n: int) -> int:
@@ -63,7 +67,8 @@ class _Request:
     trg_spk: str
     done: threading.Event = field(default_factory=threading.Event)
     result: np.ndarray | None = None
-    error: str | None = None
+    error: BaseException | None = None
+    abandoned: bool = False               # submit timed out; skip the work
 
 
 class ConversionService:
@@ -71,7 +76,7 @@ class ConversionService:
 
     def __init__(self, cfg: Config, model, variables, dataset_fp: str,
                  vocoder=None, max_batch_chunks: int = 64,
-                 max_wait_ms: float = 10.0):
+                 max_wait_ms: float = 10.0, max_queue: int = 256):
         self.cfg = cfg
         self.model = model
         self.variables = variables
@@ -81,7 +86,7 @@ class ConversionService:
         self.max_wait_ms = max_wait_ms
         self._style_cache: dict[str, jnp.ndarray] = {}
         self._style_lock = threading.Lock()
-        self._q: queue.Queue[_Request] = queue.Queue()
+        self._q: queue.Queue[_Request] = queue.Queue(maxsize=max_queue)
         self.stats = {"requests": 0, "batches": 0, "chunks": 0,
                       "errors": 0}
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -136,11 +141,18 @@ class ConversionService:
     def submit(self, mel: np.ndarray, trg_spk: str,
                timeout: float = 120.0) -> np.ndarray:
         req = _Request(mel=mel, trg_spk=trg_spk)
-        self._q.put(req)
+        try:
+            self._q.put_nowait(req)
+        except queue.Full:
+            raise ServiceOverloaded(
+                f"request queue at capacity ({self._q.maxsize})") from None
         if not req.done.wait(timeout):
+            # mark so the worker skips the device work for a reply nobody
+            # will read (otherwise abandoned retries deepen an overload)
+            req.abandoned = True
             raise TimeoutError("conversion timed out")
         if req.error is not None:
-            raise RuntimeError(req.error)
+            raise req.error
         return req.result
 
     def _drain(self) -> list[_Request]:
@@ -148,7 +160,7 @@ class ConversionService:
         until the chunk budget or the wait window is exhausted."""
         first = self._q.get()
         batch = [first]
-        chunks = first.mel.shape[1] // self._frames + 1
+        chunks = num_chunks(first.mel.shape[1], self._frames)
         deadline = time.monotonic() + self.max_wait_ms / 1000.0
         while chunks < self.max_batch_chunks:
             remain = deadline - time.monotonic()
@@ -159,7 +171,7 @@ class ConversionService:
             except queue.Empty:
                 break
             batch.append(nxt)
-            chunks += nxt.mel.shape[1] // self._frames + 1
+            chunks += num_chunks(nxt.mel.shape[1], self._frames)
         return batch
 
     def _run(self):
@@ -170,7 +182,7 @@ class ConversionService:
             except Exception as e:  # pragma: no cover - defensive
                 self.stats["errors"] += len(batch)
                 for r in batch:
-                    r.error = f"{type(e).__name__}: {e}"
+                    r.error = e
                     r.done.set()
 
     def _process(self, batch: list[_Request]):
@@ -178,11 +190,16 @@ class ConversionService:
         all_chunks, styles, spans = [], [], []
         offset = 0
         for r in batch:
+            if r.abandoned:
+                continue
             try:
                 style = self.target_style(r.trg_spk)
-            except KeyError as e:
-                r.error = str(e)
+            except Exception as e:
+                # per-request failure (unknown speaker, corrupt mel on
+                # disk, ...) must not poison the co-batched requests
+                r.error = e
                 r.done.set()
+                self.stats["errors"] += 1
                 continue
             c = chunk_mel(jnp.asarray(r.mel, jnp.float32), frames)
             spans.append((r, offset, c.shape[0]))
@@ -228,10 +245,22 @@ class ConversionService:
 def make_http_server(service: ConversionService, host: str = "127.0.0.1",
                      port: int = 7860) -> ThreadingHTTPServer:
     from dvc_tpu.ops.mel import melspectrogram
+    from dvc_tpu.ops.stft import num_frames
     from dvc_tpu.utils.wavio import write_wav
 
     audio_cfg = service.cfg.audio
-    mel_fn = jax.jit(lambda w: melspectrogram(w, audio_cfg))
+    mel_jit = jax.jit(lambda w: melspectrogram(w, audio_cfg))
+
+    def mel_fn(wav: np.ndarray) -> np.ndarray:
+        # bucket the sample count to a power of two so arbitrary client
+        # lengths reuse a handful of compiled programs (zero-pad extends
+        # the framing's own zero padding, so the first num_frames(orig)
+        # frames are unchanged), then crop to the true frame count
+        n = len(wav)
+        padded = np.zeros(_bucket(max(n, audio_cfg.hop_size)), np.float32)
+        padded[:n] = wav
+        mel = np.asarray(mel_jit(jnp.asarray(padded)))
+        return mel[:, :num_frames(n, audio_cfg.fft_size, audio_cfg.hop_size)]
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *a):  # quiet by default
@@ -291,10 +320,14 @@ def make_http_server(service: ConversionService, host: str = "127.0.0.1",
                     from dvc_tpu.ops.audio import resample_poly
                     wav = np.asarray(resample_poly(jnp.asarray(wav), sr,
                                                    audio_cfg.sample_rate))
-                mel = np.asarray(mel_fn(jnp.asarray(wav, jnp.float32)))
+                mel = mel_fn(np.asarray(wav, np.float32))
                 out = service.submit(mel, trg)
             except KeyError as e:
+                # speaker dir listed but empty, or removed after the check
                 self._json(404, {"error": str(e)})
+                return
+            except (ServiceOverloaded, TimeoutError) as e:
+                self._json(503, {"error": str(e)})
                 return
             except Exception as e:
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})

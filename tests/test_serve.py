@@ -93,7 +93,9 @@ class TestServiceDirect:
         assert s1.shape == (2 * CFG.vae.speaker_size // 2,)
 
     def test_unknown_speaker(self, service):
-        with pytest.raises(RuntimeError, match="unknown target speaker"):
+        # submit re-raises the worker's exception with its real type, so
+        # the HTTP layer can map KeyError to 404
+        with pytest.raises(KeyError, match="unknown target speaker"):
             service.submit(np.random.rand(80, 20).astype(np.float32), "nope")
 
     def test_submit_returns_mel(self, service):
@@ -125,6 +127,36 @@ class TestServiceDirect:
         assert dreq == 4
         # the 300 ms window must have merged at least two requests
         assert dbat < dreq
+
+    def test_bad_speaker_file_does_not_poison_batch(self, service):
+        """A corrupt target mel fails ITS request; co-batched requests for
+        healthy speakers still succeed."""
+        import os
+        bad_dir = os.path.join(service.dataset_fp, "broken")
+        os.makedirs(bad_dir, exist_ok=True)
+        with open(os.path.join(bad_dir, "x_mel.npy"), "wb") as f:
+            f.write(b"not an npy file")
+        try:
+            results = {}
+
+            def w(name, spk):
+                try:
+                    results[name] = service.submit(
+                        np.random.rand(80, 20).astype(np.float32), spk)
+                except Exception as e:
+                    results[name] = e
+
+            ts = [threading.Thread(target=w, args=("good", "p1")),
+                  threading.Thread(target=w, args=("bad", "broken"))]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+            assert isinstance(results["good"], np.ndarray)
+            assert isinstance(results["bad"], Exception)
+        finally:
+            import shutil
+            shutil.rmtree(bad_dir)
 
     def test_batched_equals_solo(self, service):
         """Micro-batched conversion must be value-identical to a solo

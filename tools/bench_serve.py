@@ -26,30 +26,6 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-class PallasVocoder:
-    """Minimal vocoder protocol over pallas_generate (batch-first)."""
-
-    def __init__(self, wn_vars, vcfg):
-        self.wn_vars = wn_vars
-        self.vcfg = vcfg
-
-    def batch(self, mels):
-        import jax.numpy as jnp
-        from dvc_tpu.kernels.wavenet_step import pallas_generate
-        hop = 256
-        ts = [m.shape[1] for m in mels]
-        t_max = max(ts)
-        stack = np.zeros((len(mels), t_max, mels[0].shape[0]), np.float32)
-        for i, m in enumerate(mels):
-            stack[i, :m.shape[1], :] = np.asarray(m, np.float32).T
-        wavs = np.asarray(pallas_generate(self.wn_vars, jnp.asarray(stack),
-                                          seed=7, cfg=self.vcfg))
-        return [wavs[i, :ts[i] * hop] for i in range(len(mels))]
-
-    def __call__(self, mel):
-        return self.batch([mel])[0]
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--requests", type=int, default=8)
@@ -77,11 +53,13 @@ def main():
     variables = model.init({"params": rng, "reparam": rng}, x, x, train=True)
     variables = {"params": variables["params"],
                  "batch_stats": variables["batch_stats"]}
+    from dvc_tpu.convert.vocode import make_vocoder
     vcfg = C.VocoderConfig()
+    hop = int(np.prod(vcfg.upsample_scales))
     wn_vars = WaveNet(vcfg).init(jax.random.PRNGKey(1),
-                                 jnp.zeros((1, 4 * 256, 1)),
+                                 jnp.zeros((1, 4 * hop, 1)),
                                  jnp.zeros((1, 4, 80)))
-    vocoder = PallasVocoder(wn_vars, vcfg)
+    vocoder = make_vocoder(None, vcfg, backend="pallas", variables=wn_vars)
 
     np_rng = np.random.RandomState(0)
     with tempfile.TemporaryDirectory() as mel_dir:
@@ -119,7 +97,10 @@ def main():
         for _ in range(3):
             dt, outs = run_all()
             best = min(best, dt)
-        audio_s = sum(len(o) for o in outs) / 16000.0
+        # account only the REQUESTED audio (input frames), not the padded
+        # tail chunk the conversion appends
+        audio_s = args.requests * args.frames * hop / float(
+            cfg.audio.sample_rate)
         s = service.stats
         print(json.dumps({
             "metric": "serve_concurrent_requests_realtime_x",
