@@ -601,18 +601,52 @@ def pallas_generate(variables: dict, c_frames: jax.Array, seed: int,
 
     lb = layers_per_block
     fused = fuse_matmuls and not quantize_int8
-    kernel = _make_kernel(cfg, t_total, b, deterministic=deterministic,
-                          quantized=quantize_int8, lb=lb, fused=fused)
     act_dtype = jnp.bfloat16 if quantize_int8 else weight_dtype
+    run = _streamed_call(cfg, t_total, b, C, packed["buf_total"], lb, fused,
+                         quantize_int8, jnp.dtype(act_dtype).name,
+                         deterministic, interpret)
     L_dim = cfg.layers
+    G = cfg.gate_channels
     if quantize_int8:
         scale_args = (packed["s_dil"], packed["s_out"], packed["s_c"],
                       packed["s_skip"])
     else:
         scale_args = (jnp.zeros((L_dim, 3, G), jnp.float32),
-                      jnp.zeros((L_dim, R), jnp.float32),
+                      jnp.zeros((L_dim, cfg.residual_channels), jnp.float32),
                       jnp.zeros((L_dim, G), jnp.float32),
-                      jnp.zeros((L_dim, S), jnp.float32))
+                      jnp.zeros((L_dim, cfg.skip_out_channels), jnp.float32))
+    return run(
+        packed["dil"], packed["offs"], jnp.asarray([seed], jnp.int32),
+        jnp.swapaxes(cond, 0, 1).astype(jnp.float32),   # (T, B, C)
+        *((packed["w_cat"], packed["w_so"],
+           jnp.zeros((1, 8, 128), jnp.float32),
+           jnp.zeros((1, 8, 128), jnp.float32))
+          if fused else
+          (packed["w_dil"], packed["w_out"], packed["w_c"], packed["w_skip"])),
+        *scale_args,
+        packed["b_dil"], packed["b_skip"], packed["b_out"],
+        packed["w_first"], packed["b_first"], packed["w_f1"], packed["b_f1"],
+        packed["w_f2"], packed["b_f2"])
+
+
+@functools.lru_cache(maxsize=16)
+def _streamed_call(cfg: VocoderConfig, t_total: int, b: int, C: int,
+                   buf_total: int, lb: int, fused: bool, quantized: bool,
+                   act_dtype_name: str, deterministic: bool,
+                   interpret: bool):
+    """Build (once per shape signature) the jitted streamed-kernel callable
+    — the same trace-cache the resident path has (rebuilding pallas_call
+    per invocation pays ~3 s of host trace/lower time per utterance on a
+    1-core host)."""
+    L = cfg.layers
+    R = cfg.residual_channels
+    G = cfg.gate_channels
+    G2 = G // 2
+    S = cfg.skip_out_channels
+    C_dim = cfg.cin_channels
+    act_dtype = jnp.dtype(act_dtype_name)
+    kernel = _make_kernel(cfg, t_total, b, deterministic=deterministic,
+                          quantized=quantized, lb=lb, fused=fused)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # dil, offs, seed
         grid=(t_total, L // lb),
@@ -655,13 +689,13 @@ def pallas_generate(variables: dict, c_frames: jax.Array, seed: int,
         out_specs=pl.BlockSpec((1, 1, b), lambda t, l, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((packed["buf_total"], b, R), act_dtype),     # ring buffers
-            pltpu.VMEM((b, R), jnp.float32),                        # h carry
-            pltpu.VMEM((b, S), jnp.float32),                        # skip acc
-            pltpu.VMEM((b, 128), jnp.float32),                      # x_prev (lane-padded)
+            pltpu.VMEM((buf_total, b, R), act_dtype),         # ring buffers
+            pltpu.VMEM((b, R), jnp.float32),                  # h carry
+            pltpu.VMEM((b, S), jnp.float32),                  # skip acc
+            pltpu.VMEM((b, 128), jnp.float32),                # x_prev (lane-padded)
         ],
     )
-    out = pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t_total, 1, b), jnp.float32),
@@ -672,14 +706,9 @@ def pallas_generate(variables: dict, c_frames: jax.Array, seed: int,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(packed["dil"], packed["offs"], jnp.asarray([seed], jnp.int32),
-      jnp.swapaxes(cond, 0, 1).astype(jnp.float32),   # (T, B, C)
-      *((packed["w_cat"], packed["w_so"],
-         jnp.zeros((1, 8, 128), jnp.float32), jnp.zeros((1, 8, 128), jnp.float32))
-        if fused else
-        (packed["w_dil"], packed["w_out"], packed["w_c"], packed["w_skip"])),
-      *scale_args,
-      packed["b_dil"], packed["b_skip"], packed["b_out"],
-      packed["w_first"], packed["b_first"], packed["w_f1"], packed["b_f1"],
-      packed["w_f2"], packed["b_f2"])
-    return out[:, 0, :].T  # (B, T)
+    )
+
+    def run(*args):
+        return call(*args)[:, 0, :].T  # (B, T)
+
+    return run if interpret else jax.jit(run)
