@@ -306,6 +306,11 @@ int dvc_harvest_stage(const float* x, long n, int fs, double frame_period_ms,
                       double f0_floor, double f0_ceil, double* f0_out,
                       int stage) {
   if (!x || !f0_out || n < 64 || fs <= 0) return -1;
+  // parameter sanity: an inverted/degenerate search band would drive the
+  // channel count negative (std::vector length_error -> process abort)
+  if (!(f0_floor > 0.0) || !(f0_ceil > f0_floor) ||
+      !(frame_period_ms > 0.0))
+    return -1;
 
   // --- downsample to the ~8 kHz analysis rate ------------------------------
   int ratio = std::max(1, fs / 8000);

@@ -57,6 +57,10 @@ def harvest(wav: np.ndarray, fs: int, frame_period: float = 5.0,
     lib = _load()
     if lib is None:
         raise RuntimeError("native WORLD library unavailable")
+    if not (frame_period > 0.0 and 0.0 < f0_floor < f0_ceil):
+        raise RuntimeError(
+            f"invalid harvest parameters: frame_period={frame_period}, "
+            f"f0 band [{f0_floor}, {f0_ceil}]")
     wav = np.ascontiguousarray(wav, np.float32)
     n_out = lib.dvc_harvest_frames(len(wav), fs, frame_period)
     f0 = np.zeros(n_out, np.float64)

@@ -166,6 +166,17 @@ class TestD4C:
         assert (ap > 0).all() and (ap < 1.0).all()
 
 
+class TestParameterValidation:
+    def test_inverted_band_errors_instead_of_aborting(self):
+        """f0_floor > f0_ceil drove the channel count negative and
+        std::length_error ABORTED the process; it must be a clean error."""
+        wav = np.zeros(8000, np.float32)
+        with pytest.raises(RuntimeError):
+            native_world.harvest(wav, FS, f0_floor=500.0, f0_ceil=100.0)
+        with pytest.raises(RuntimeError):
+            native_world.harvest(wav, FS, frame_period=0.0)
+
+
 class TestThreadDeterminism:
     """The channel/refinement/frame thread pools must be bit-identical at
     any thread count (parallel sections write disjoint slots and merge in a
