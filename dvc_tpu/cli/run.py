@@ -107,6 +107,24 @@ def cmd_train(args) -> int:
     return 0
 
 
+def _make_cli_vocoder(args, cfg):
+    """Shared vocoder selection: --vocoder istft needs --vocoder_ckpt; a
+    bare --vocoder_ckpt means the (auto-converted) WaveNet; griffinlim is
+    the checkpoint-free default; none disables waveform output."""
+    if getattr(args, "vocoder", "") == "istft":
+        if not args.vocoder_ckpt:
+            raise SystemExit("--vocoder istft needs --vocoder_ckpt")
+        from dvc_tpu.convert.vocode import make_istft_vocoder
+        return make_istft_vocoder(args.vocoder_ckpt)
+    if args.vocoder_ckpt:
+        from dvc_tpu.convert.vocode import make_vocoder
+        return make_vocoder(args.vocoder_ckpt)
+    if args.vocoder == "griffinlim":
+        from dvc_tpu.convert.griffinlim import make_griffinlim_vocoder
+        return make_griffinlim_vocoder(cfg.audio, n_iter=args.gl_iters)
+    return None
+
+
 def cmd_convert(args) -> int:
     import jax
     from dvc_tpu.convert.conversion import VoiceConverter
@@ -120,13 +138,7 @@ def cmd_convert(args) -> int:
     variables = {"params": trainer.state.params,
                  "batch_stats": trainer.state.batch_stats}
 
-    vocoder = None
-    if args.vocoder_ckpt:
-        from dvc_tpu.convert.vocode import make_vocoder
-        vocoder = make_vocoder(args.vocoder_ckpt)
-    elif args.vocoder == "griffinlim":
-        from dvc_tpu.convert.griffinlim import make_griffinlim_vocoder
-        vocoder = make_griffinlim_vocoder(cfg.audio, n_iter=args.gl_iters)
+    vocoder = _make_cli_vocoder(args, cfg)
 
     converter = VoiceConverter(cfg, trainer.model, variables, seed=args.seed,
                                long_context=args.long_context)
@@ -225,13 +237,7 @@ def cmd_serve(args) -> int:
     variables = {"params": trainer.state.params,
                  "batch_stats": trainer.state.batch_stats}
 
-    vocoder = None
-    if args.vocoder_ckpt:
-        from dvc_tpu.convert.vocode import make_vocoder
-        vocoder = make_vocoder(args.vocoder_ckpt)
-    elif args.vocoder == "griffinlim":
-        from dvc_tpu.convert.griffinlim import make_griffinlim_vocoder
-        vocoder = make_griffinlim_vocoder(cfg.audio, n_iter=args.gl_iters)
+    vocoder = _make_cli_vocoder(args, cfg)
 
     service = ConversionService(cfg, trainer.model, variables,
                                 args.dataset_fp, vocoder,
@@ -450,8 +456,25 @@ def cmd_embed(args) -> int:
 
 
 def cmd_train_vocoder(args) -> int:
-    """WaveNet vocoder training on a directory of wavs (the recipe behind the
-    reference's consumed EMA checkpoint, preprocessing/hparams.py:129-151)."""
+    """Vocoder training on a directory of wavs.  --arch wavenet (default)
+    trains the reference-recipe AR WaveNet (the path behind the published
+    EMA checkpoint, preprocessing/hparams.py:129-151); --arch istft trains
+    the non-autoregressive iSTFT vocoder (additive fast-vocoder family)."""
+    if args.arch == "istft":
+        from dvc_tpu.train.istft_vocoder_trainer import (
+            ISTFTVocoderTrainer,
+            mel_wav_batches,
+        )
+        trainer = ISTFTVocoderTrainer(lr=args.lr, seed=args.seed)
+        crop_frames = max(8, args.max_time_steps // 256)
+        batches = mel_wav_batches(args.wav_dir, args.batch_size, crop_frames,
+                                  seed=args.seed)
+        trainer.train_steps(batches, args.n_steps)
+        run_id = "istft_voc" if args.run_id == "wavenet" else args.run_id
+        path = trainer.save(args.models_dir, run_id=run_id)
+        print(f"saved istft vocoder checkpoint -> {path}")
+        return 0
+
     from dvc_tpu.config import VocoderConfig
     from dvc_tpu.train.vocoder_trainer import VocoderTrainer, wav_batches
 
@@ -547,8 +570,10 @@ def main(argv=None) -> int:
     p.add_argument("--vocoder_ckpt", default="",
                    help="WaveNet checkpoint (msgpack); overrides --vocoder")
     p.add_argument("--vocoder", default="griffinlim",
-                   choices=["none", "griffinlim"],
-                   help="checkpoint-free vocoder used when no --vocoder_ckpt")
+                   choices=["none", "griffinlim", "istft"],
+                   help="griffinlim: checkpoint-free default; istft: the "
+                        "non-AR fast vocoder (needs --vocoder_ckpt); a bare "
+                        "--vocoder_ckpt selects the WaveNet")
     p.add_argument("--gl_iters", type=int, default=32)
     p.add_argument("--long_context", action="store_true",
                    help="encode with cross-chunk context (whole-utterance "
@@ -601,6 +626,7 @@ def main(argv=None) -> int:
     p.add_argument("--stacks", type=int, default=4)
     p.add_argument("--residual_channels", type=int, default=512)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--arch", default="wavenet", choices=["wavenet", "istft"])
     p.set_defaults(fn=cmd_train_vocoder)
 
     p = sub.add_parser("vocode")
@@ -629,7 +655,7 @@ def main(argv=None) -> int:
                         "batch")
     p.add_argument("--vocoder_ckpt", default="")
     p.add_argument("--vocoder", default="griffinlim",
-                   choices=["none", "griffinlim"])
+                   choices=["none", "griffinlim", "istft"])
     p.add_argument("--gl_iters", type=int, default=32)
     p.set_defaults(fn=cmd_serve)
 

@@ -153,6 +153,22 @@ class VocoderConfig:
 
 
 @dataclass(frozen=True)
+class ISTFTVocoderConfig:
+    """Non-autoregressive iSTFT-head vocoder (additive fast-vocoder family,
+    FreeV / Autovocoder direction — see PAPERS.md): a dilated convnet
+    refines the pseudo-inverse-mel magnitude prior and predicts phase; the
+    waveform is one jitted iSTFT.  Single-pass generation — no sample loop
+    at all — trading the AR WaveNet's fidelity ceiling for ~1000x lower
+    single-stream latency."""
+
+    channels: int = 512
+    blocks: int = 8                       # dilated residual conv blocks
+    kernel_size: int = 7
+    dilation_cycle: Sequence[int] = (1, 2, 4, 8)
+    num_mels: int = 80
+
+
+@dataclass(frozen=True)
 class SpeakerEncoderConfig:
     """GE2E speaker encoder (reference: preprocessing/encoder/params_model.py:1-11)."""
 

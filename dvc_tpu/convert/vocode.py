@@ -87,3 +87,49 @@ def make_vocoder(ckpt_path: str | None, cfg: VocoderConfig = VocoderConfig(),
 
     wavegen.batch = wavegen_batch  # type: ignore[attr-defined]
     return wavegen
+
+
+def make_istft_vocoder(ckpt_path: str, cfg=None, audio=None,
+                       pad_frames_to: int = 32):
+    """Vocoder protocol over the non-autoregressive iSTFT vocoder
+    (models/istft_vocoder.py): (80, T) mel -> (T * hop,) waveform in ONE
+    feed-forward pass; `.batch` vocodes many mels as one padded batch."""
+    from flax import serialization
+
+    from dvc_tpu.config import AudioConfig, ISTFTVocoderConfig
+    from dvc_tpu.models.istft_vocoder import ISTFTVocoder
+
+    audio = audio or AudioConfig()
+    model = ISTFTVocoder(cfg or ISTFTVocoderConfig(), audio)
+    mel0 = jnp.zeros((1, audio.num_mels, 4))
+    target = {"params": model.init(jax.random.PRNGKey(0), mel0)["params"]}
+    with open(ckpt_path, "rb") as f:
+        variables = serialization.from_bytes(target, f.read())
+    hop = audio.hop_size
+
+    import functools
+
+    # params travel as an ARGUMENT: closing over them embeds ~80 MB of
+    # constants into the HLO (minutes of compile, and the experimental
+    # backend fails fetching them during constant folding)
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def _gen(params, mel_b, length):
+        from dvc_tpu.models.istft_vocoder import synthesize
+        return synthesize(model, params, mel_b, length)
+
+    def wavegen(mel: np.ndarray) -> np.ndarray:
+        return wavegen_batch([mel])[0]
+
+    def wavegen_batch(mels: list[np.ndarray]) -> list[np.ndarray]:
+        if not mels:
+            return []
+        ts = [m.shape[1] for m in mels]
+        bucket = -(-max(ts) // pad_frames_to) * pad_frames_to
+        c = np.zeros((len(mels), mels[0].shape[0], bucket), np.float32)
+        for i, m in enumerate(mels):
+            c[i, :, :m.shape[1]] = np.asarray(m, np.float32)
+        wavs = np.asarray(_gen(variables, jnp.asarray(c), bucket * hop))
+        return [wavs[i, : t * hop] for i, t in enumerate(ts)]
+
+    wavegen.batch = wavegen_batch  # type: ignore[attr-defined]
+    return wavegen
