@@ -115,7 +115,7 @@ def _make_cli_vocoder(args, cfg):
         if not args.vocoder_ckpt:
             raise SystemExit("--vocoder istft needs --vocoder_ckpt")
         from dvc_tpu.convert.vocode import make_istft_vocoder
-        return make_istft_vocoder(args.vocoder_ckpt)
+        return make_istft_vocoder(args.vocoder_ckpt, audio=cfg.audio)
     if args.vocoder_ckpt:
         from dvc_tpu.convert.vocode import make_vocoder
         return make_vocoder(args.vocoder_ckpt)
@@ -466,7 +466,7 @@ def cmd_train_vocoder(args) -> int:
             mel_wav_batches,
         )
         trainer = ISTFTVocoderTrainer(lr=args.lr, seed=args.seed)
-        crop_frames = max(8, args.max_time_steps // 256)
+        crop_frames = max(8, args.max_time_steps // trainer.audio.hop_size)
         batches = mel_wav_batches(args.wav_dir, args.batch_size, crop_frames,
                                   seed=args.seed)
         trainer.train_steps(batches, args.n_steps)
@@ -568,7 +568,10 @@ def main(argv=None) -> int:
     p.add_argument("--trg_spk", default="VCTK-Corpus_wav16_p226")
     p.add_argument("--num_utterances", type=int, default=2)
     p.add_argument("--vocoder_ckpt", default="",
-                   help="WaveNet checkpoint (msgpack); overrides --vocoder")
+                   help="vocoder checkpoint: with --vocoder istft it is the "
+                        "iSTFT vocoder's msgpack; otherwise a WaveNet "
+                        "checkpoint (torch .pth auto-converts) that "
+                        "overrides the griffinlim default")
     p.add_argument("--vocoder", default="griffinlim",
                    choices=["none", "griffinlim", "istft"],
                    help="griffinlim: checkpoint-free default; istft: the "

@@ -165,7 +165,6 @@ class ISTFTVocoderConfig:
     blocks: int = 8                       # dilated residual conv blocks
     kernel_size: int = 7
     dilation_cycle: Sequence[int] = (1, 2, 4, 8)
-    num_mels: int = 80
 
 
 @dataclass(frozen=True)

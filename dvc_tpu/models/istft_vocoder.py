@@ -90,5 +90,11 @@ def synthesize(model: ISTFTVocoder, variables, mel_norm: jax.Array,
     t = mel_norm.shape[-1]
     if length is None:
         length = default_inversion_length(t, model.audio)
+    if length > t * model.audio.hop_size:
+        # istft's crop window only holds t*hop samples for a t-frame spec;
+        # a larger request would come back silently short (jnp slices clip)
+        raise ValueError(
+            f"length {length} exceeds the {t * model.audio.hop_size} samples "
+            f"a {t}-frame mel can synthesize")
     spec = model.apply(variables, mel_norm)
     return istft(spec, length, model.audio)

@@ -56,7 +56,7 @@ def create_istft_state(rng: jax.Array,
                        audio: AudioConfig = AudioConfig(),
                        lr: float = 2e-4, frames: int = 32):
     model = ISTFTVocoder(cfg, audio)
-    mel = jnp.zeros((1, cfg.num_mels, frames))
+    mel = jnp.zeros((1, audio.num_mels, frames))
     variables = model.init(rng, mel)
     optimizer = optax.adamw(lr, weight_decay=1e-5)
     return model, ISTFTVocState(
@@ -110,6 +110,8 @@ class ISTFTVocoderTrainer:
         pass its (x, c) as (c.T-per-batch, x[..., 0]))."""
         losses = []
         for i, (mel, wav) in enumerate(batches):
+            if i >= n_steps:
+                break
             self.state, total, mrstft, l1 = self.step_fn(
                 self.state, jnp.asarray(mel), jnp.asarray(wav))
             if (i + 1) % 50 == 0 or i == 0:
@@ -117,8 +119,6 @@ class ISTFTVocoderTrainer:
                              f"loss {float(total):.4f} "
                              f"(mrstft {float(mrstft):.4f} l1 {float(l1):.4f})")
             losses.append(float(total))
-            if i + 1 >= n_steps:
-                break
         return losses
 
     def save(self, models_dir: str, run_id: str = "istft_voc") -> str:
@@ -134,38 +134,18 @@ class ISTFTVocoderTrainer:
 
 def mel_wav_batches(wav_dir: str, batch_size: int, crop_frames: int,
                     audio: AudioConfig = AudioConfig(), seed: int = 0):
-    """Infinite (mel, wav) pairs: random hop-aligned crops from a wav dir,
-    mels computed with the framework's batched op."""
-    import glob as _glob
+    """Infinite (mel (B, n_mels, T), wav (B, T*hop)) pairs — a thin adapter
+    over train/vocoder_trainer.wav_batches (the same load/resample/filter/
+    crop/mel pipeline; one implementation to maintain)."""
+    from dvc_tpu.config import VocoderConfig
+    from dvc_tpu.train.vocoder_trainer import wav_batches
 
-    from dvc_tpu.ops.mel import melspectrogram
-    from dvc_tpu.utils.wavio import read_audio
-
-    hop = audio.hop_size
-    t = crop_frames * hop
-    fps = sorted(_glob.glob(os.path.join(wav_dir, "**", "*.wav"),
-                            recursive=True))
-    if not fps:
-        raise FileNotFoundError(f"no wavs under {wav_dir}")
-    rng = np.random.RandomState(seed)
-    wavs = []
-    for fp in fps:
-        w, sr = read_audio(fp)
-        if sr != audio.sample_rate:
-            from dvc_tpu.ops.audio import resample_poly
-            w = np.asarray(resample_poly(jnp.asarray(w), sr,
-                                         audio.sample_rate))
-        if len(w) >= t:
-            wavs.append(np.asarray(w, np.float32))
-    if not wavs:
-        raise ValueError(f"no wav under {wav_dir} is >= {t} samples")
-
-    mel_fn = jax.jit(lambda w: melspectrogram(w, audio))
-    while True:
-        xs = np.zeros((batch_size, t), np.float32)
-        for b in range(batch_size):
-            w = wavs[rng.randint(len(wavs))]
-            s = rng.randint(0, (len(w) - t) // hop + 1) * hop
-            xs[b] = w[s:s + t]
-        mels = np.asarray(mel_fn(jnp.asarray(xs)))[:, :, :crop_frames]
-        yield mels, xs
+    # VocoderConfig's hop (prod of upsample scales) must equal the mel hop
+    # for the crops to align; the default stacks (4,4,4,4) == hop 256
+    vcfg = VocoderConfig()
+    assert int(np.prod(vcfg.upsample_scales)) == audio.hop_size
+    for x, c in wav_batches(wav_dir, batch_size,
+                            crop_frames * audio.hop_size, vcfg, seed=seed,
+                            audio_cfg=audio):
+        # wav_batches yields x (B, T*hop, 1), c (B, T, n_mels)
+        yield np.transpose(c, (0, 2, 1)), x[..., 0]
