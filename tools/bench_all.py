@@ -209,8 +209,40 @@ def bench_conversion(quick: bool) -> dict:
         t0 = time.perf_counter()
         w = full()
         best = min(best, time.perf_counter() - t0)
-    return emit("conversion_latency_ms", best * 1e3, "ms",
-                utterance_s=round(dur, 2), realtime_x=round(dur / best, 1))
+    out = emit("conversion_latency_ms", best * 1e3, "ms",
+               utterance_s=round(dur, 2), realtime_x=round(dur / best, 1))
+
+    # same pipeline with the non-AR iSTFT vocoder (fast-vocoder family)
+    import functools
+
+    from dvc_tpu.config import ISTFTVocoderConfig
+    from dvc_tpu.models.istft_vocoder import ISTFTVocoder, synthesize
+
+    ivoc = ISTFTVocoder(ISTFTVocoderConfig(), cfg.audio)
+    iv_vars = ivoc.init(jax.random.PRNGKey(2),
+                        jnp.zeros((1, cfg.audio.num_mels, 4)))
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def igen(params, mel_b, length):
+        return synthesize(ivoc, params, mel_b, length)
+
+    def full_istft():
+        _, converted = convert_mel(model, variables, src, trg, 64)
+        t = converted.shape[1]
+        return np.asarray(igen(iv_vars, jnp.asarray(converted[None]),
+                               t * cfg.audio.hop_size))
+
+    w = full_istft()
+    dur_i = w.shape[1] / 16000
+    best_i = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        w = full_istft()
+        best_i = min(best_i, time.perf_counter() - t0)
+    out.update(emit("conversion_latency_istft_ms", best_i * 1e3, "ms",
+                    utterance_s=round(dur_i, 2),
+                    realtime_x=round(dur_i / best_i, 1)))
+    return out
 
 
 def main():
