@@ -223,6 +223,50 @@ def cmd_train_autovc(args) -> int:
     return 0
 
 
+def cmd_eval_eer(args) -> int:
+    """Verification EER of a trained GE2E encoder over a labeled mel dir
+    (speaker-per-subdirectory layout) — additive eval tool; the reference
+    only reports the training-batch EER (encoder/model.py:129-137)."""
+    from glob import glob
+
+    import numpy as np
+
+    from dvc_tpu.config import SpeakerEncoderConfig
+    from dvc_tpu.eval.eer import verification_eer
+    from dvc_tpu.models.speaker_inference import SpeakerEmbedder
+    from dvc_tpu.train.speaker_trainer import SpeakerEncoderTrainer
+
+    cfg = SpeakerEncoderConfig()
+    trainer = SpeakerEncoderTrainer(cfg, run_id=args.run_id,
+                                    models_dir=args.models_dir)
+    if not trainer.resume():
+        raise SystemExit(f"no {args.run_id} checkpoint in {args.models_dir}")
+    embedder = SpeakerEmbedder(cfg)
+    embedder.load(trainer.state.params)
+
+    win = cfg.partials_n_frames
+    embeds, ids = [], []
+    for spk in sorted(os.listdir(args.mel_dir)):
+        d = os.path.join(args.mel_dir, spk)
+        if not os.path.isdir(d):
+            continue
+        for fp in sorted(glob(os.path.join(d, "*.npy")))[:args.max_utts]:
+            m = np.load(fp).T  # (T, n_mels)
+            if len(m) < win:
+                m = np.pad(m, ((0, win - len(m)), (0, 0)))
+            start = max(0, (len(m) - win) // 2)
+            frames = m[start:start + win][None]
+            e = embedder.embed_frames_batch(frames)[0]
+            embeds.append(e / max(1e-12, np.linalg.norm(e)))
+            ids.append(spk)
+    if len(set(ids)) < 2:
+        raise SystemExit("need at least two speakers with utterances")
+    eer = verification_eer(np.stack(embeds), np.asarray(ids))
+    print(f"verification EER over {len(ids)} utterances, "
+          f"{len(set(ids))} speakers: {eer:.4f}")
+    return 0
+
+
 def cmd_serve(args) -> int:
     """HTTP conversion service with cross-request micro-batching
     (dvc_tpu/serve.py — additive serving capability)."""
@@ -661,6 +705,14 @@ def main(argv=None) -> int:
                    choices=["none", "griffinlim", "istft"])
     p.add_argument("--gl_iters", type=int, default=32)
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("eval-eer")
+    p.add_argument("run_id")
+    p.add_argument("mel_dir")
+    p.add_argument("-m", "--models_dir", required=True)
+    p.add_argument("--max_utts", type=int, default=50,
+                   help="utterances per speaker cap")
+    p.set_defaults(fn=cmd_eval_eer)
 
     p = sub.add_parser("eval-mcd")
     p.add_argument("--src_dir", required=True)

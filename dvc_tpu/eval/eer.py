@@ -37,3 +37,34 @@ def ge2e_eer(sim_matrix: np.ndarray, speakers_per_batch: int,
     ground_truth = np.repeat(np.arange(speakers_per_batch), utterances_per_speaker)
     labels = np.eye(speakers_per_batch, dtype=int)[ground_truth]
     return equal_error_rate(labels.flatten(), sim_matrix.flatten())
+
+
+def verification_eer(embeds: np.ndarray, speaker_ids: np.ndarray,
+                     max_pairs: int = 200_000, seed: int = 0) -> float:
+    """Verification EER over utterance embeddings with speaker labels:
+    cosine scores of all same-speaker pairs vs a sampled set of
+    cross-speaker pairs (capped at max_pairs for very large sets).
+
+    Additive evaluation tool — the reference only reports the GE2E
+    training-batch EER (encoder/model.py:129-137); this scores a trained
+    encoder on an arbitrary labeled corpus."""
+    embeds = np.asarray(embeds, np.float64)
+    embeds = embeds / np.maximum(
+        np.linalg.norm(embeds, axis=1, keepdims=True), 1e-12)
+    ids = np.asarray(speaker_ids)
+    n = len(ids)
+    iu, ju = np.triu_indices(n, k=1)
+    same = ids[iu] == ids[ju]
+    pos = np.flatnonzero(same)
+    neg = np.flatnonzero(~same)
+    if len(pos) == 0 or len(neg) == 0:
+        return 0.0
+    rng = np.random.RandomState(seed)
+    if len(pos) > max_pairs:
+        pos = rng.choice(pos, max_pairs, replace=False)
+    if len(neg) > max_pairs:
+        neg = rng.choice(neg, max_pairs, replace=False)
+    sel = np.concatenate([pos, neg])
+    scores = np.einsum("ij,ij->i", embeds[iu[sel]], embeds[ju[sel]])
+    labels = np.concatenate([np.ones(len(pos)), np.zeros(len(neg))])
+    return equal_error_rate(labels, scores)

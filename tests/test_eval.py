@@ -139,3 +139,31 @@ class TestGroupOps:
         p = np.asarray(permute_dims(jax.random.PRNGKey(0), z))
         for j in range(4):
             assert sorted(p[:, j]) == sorted(np.asarray(z)[:, j])
+
+
+class TestVerificationEER:
+    def test_separable_embeddings_near_zero(self):
+        from dvc_tpu.eval.eer import verification_eer
+        rng = np.random.RandomState(0)
+        # 3 speakers, well-separated cluster centers
+        centers = np.eye(3, 16) * 5
+        embeds, ids = [], []
+        for s in range(3):
+            for _ in range(10):
+                embeds.append(centers[s] + 0.1 * rng.randn(16))
+                ids.append(s)
+        eer = verification_eer(np.stack(embeds), np.asarray(ids))
+        assert eer < 0.05
+
+    def test_random_embeddings_near_half(self):
+        from dvc_tpu.eval.eer import verification_eer
+        rng = np.random.RandomState(1)
+        embeds = rng.randn(60, 16)
+        ids = np.repeat(np.arange(3), 20)
+        eer = verification_eer(embeds, ids)
+        assert 0.3 < eer < 0.7
+
+    def test_degenerate_single_speaker(self):
+        from dvc_tpu.eval.eer import verification_eer
+        embeds = np.random.RandomState(2).randn(5, 8)
+        assert verification_eer(embeds, np.zeros(5)) == 0.0
