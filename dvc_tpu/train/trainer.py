@@ -217,7 +217,7 @@ class Trainer:
 
     # -- epoch loops ---------------------------------------------------------
 
-    def _effective_batch_size(self, dataset) -> int:
+    def _effective_batch_size(self, dataset, logging_func=print) -> int:
         """Static-shape batch sizing.  Partial batches are dropped (one
         compiled shape — a deliberate TPU-first deviation from the
         reference DataLoader's drop_last=False), so a dataset SMALLER than
@@ -237,8 +237,8 @@ class Trainer:
                 f"than the {dp}-way data-parallel mesh needs; reduce "
                 "devices or add data")
         if not getattr(self, "_clamp_logged", False):
-            print(f"batch_size {bs} > {n_pairs} available pairs; "
-                  f"training with batch {eff}")
+            logging_func(f"batch_size {bs} > {n_pairs} available pairs; "
+                         f"training with batch {eff}")
             self._clamp_logged = True
         return eff
 
@@ -266,6 +266,8 @@ class Trainer:
         report_interval = report_interval or self.cfg.train.report_interval
         start_epoch = self.load_last() if reload_model else 1
         writer = self._get_writer()
+        # surface the tiny-corpus clamp notice through the caller's sink
+        self._effective_batch_size(dataset, logging_func=logging_func)
         # `epochs` counts ADDITIONAL epochs from the resume point — the
         # reference's exact semantics (variational_base_vae.py:175 loops
         # range(start_epoch, start_epoch + epochs)), not a total cap
@@ -323,7 +325,7 @@ class Trainer:
         import os
         epoch = self.load_last() - 1
         os.makedirs(estimation_dir, exist_ok=True)
-        bs = min(self.cfg.train.batch_size, max(1, len(dataset)))
+        bs = self._effective_batch_size(dataset)
         x1, x2, _ = next(iter(dataset.batches(bs, shuffle=False)))
         variables = {"params": self.state.params,
                      "batch_stats": self.state.batch_stats}
