@@ -69,6 +69,7 @@ class _Request:
     result: np.ndarray | None = None
     error: BaseException | None = None
     abandoned: bool = False               # submit timed out; skip the work
+    t_submit: float = field(default_factory=time.monotonic)
 
 
 class ConversionService:
@@ -89,6 +90,7 @@ class ConversionService:
         self._q: queue.Queue[_Request] = queue.Queue(maxsize=max_queue)
         self.stats = {"requests": 0, "batches": 0, "chunks": 0,
                       "errors": 0}
+        self._latencies: list[float] = []  # rolling window, seconds
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -234,9 +236,12 @@ class ConversionService:
                 else [self.vocoder(m) for m in mels]
         else:
             wavs = mels  # mel-out mode (no vocoder): return the mel itself
+        now = time.monotonic()
         for r, w in zip(owners, wavs):
             r.result = np.asarray(w)
             r.done.set()
+            self._latencies.append(now - r.t_submit)
+        del self._latencies[:-512]  # rolling window
         self.stats["requests"] += len(owners)
         self.stats["batches"] += 1
         self.stats["chunks"] += n
@@ -283,6 +288,17 @@ def make_http_server(service: ConversionService, host: str = "127.0.0.1",
                 s = dict(service.stats)
                 s["batching_ratio"] = (s["requests"] / s["batches"]
                                        if s["batches"] else 0.0)
+                lat = service._latencies
+                if lat:
+                    arr = np.sort(np.asarray(lat))
+                    s["latency_ms"] = {
+                        "p50": round(float(arr[len(arr) // 2]) * 1e3, 1),
+                        "p95": round(float(arr[int(len(arr) * 0.95)
+                                              if len(arr) > 1 else 0]) * 1e3,
+                                     1),
+                        "max": round(float(arr[-1]) * 1e3, 1),
+                        "window": len(arr),
+                    }
                 self._json(200, s)
             else:
                 self._json(404, {"error": f"unknown path {path}"})

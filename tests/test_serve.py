@@ -204,3 +204,6 @@ class TestHTTP:
         code, body = _get(server + "/stats")
         assert code == 200
         assert body["requests"] >= 1 and body["batches"] >= 1
+        lat = body["latency_ms"]
+        assert lat["window"] >= 1
+        assert 0 <= lat["p50"] <= lat["max"]
