@@ -67,19 +67,30 @@ def create_train_state(rng: jax.Array, cfg: Config,
 def make_train_step(model: DisentangledVAE, optimizer: optax.GradientTransformation,
                     mse_cof: float = 10.0, kl_cof: float = 10.0,
                     compute_dtype: str = "float32",
-                    donate: bool = True, jit: bool = True) -> Callable:
+                    donate: bool = True, jit: bool = True,
+                    remat: bool = False) -> Callable:
     """Build the (state, x1, x2, rng) -> (state, LossTerms) step.
 
     jit=False returns the raw traceable function (for callers that jit with
-    explicit in_shardings/out_shardings over a mesh)."""
+    explicit in_shardings/out_shardings over a mesh).  remat=True wraps the
+    pair forward in jax.checkpoint — activations are recomputed in the
+    backward pass instead of stored, trading ~1 extra forward of FLOPs for
+    the activation memory (useful for very large batches; gradients are
+    bitwise unchanged)."""
 
     cast = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
 
-    def loss_fn(params, batch_stats, x1, x2, rng):
-        outs, mutated = model.apply(
+    def forward(params, batch_stats, x1, x2, rng):
+        return model.apply(
             {"params": params, "batch_stats": batch_stats},
             x1.astype(cast), x2.astype(cast), train=True,
             rngs={"reparam": rng}, mutable=["batch_stats"])
+
+    if remat:
+        forward = jax.checkpoint(forward)
+
+    def loss_fn(params, batch_stats, x1, x2, rng):
+        outs, mutated = forward(params, batch_stats, x1, x2, rng)
         (rx1, rx2, rx1h, rx2h, q1m, q1l, q2m, q2l, smu, slv) = [
             o.astype(jnp.float32) for o in outs]
         terms = gvae_pair_loss(x1, x2, rx1, rx2, rx1h, rx2h,
@@ -162,7 +173,7 @@ class Trainer:
                 self.model, self.optimizer,
                 mse_cof=self.cfg.loss.mse_cof, kl_cof=self.cfg.loss.kl_cof,
                 compute_dtype=self.cfg.train.compute_dtype,
-                jit=False)
+                jit=False, remat=self.cfg.train.remat)
             self._state_shardings = train_state_shardings(
                 self.state, self.mesh, self.cfg.mesh.shard_opt_state)
             batch_sh = data_sharding(self.mesh, ndim=3)
@@ -179,7 +190,8 @@ class Trainer:
                 self.model, self.optimizer,
                 mse_cof=self.cfg.loss.mse_cof, kl_cof=self.cfg.loss.kl_cof,
                 compute_dtype=self.cfg.train.compute_dtype,
-                donate=self.cfg.train.donate_state)
+                donate=self.cfg.train.donate_state,
+                remat=self.cfg.train.remat)
         self._rng = jax.random.PRNGKey(self.cfg.train.seed + 1)
         self._writer = None
         self._eval_step = None

@@ -158,3 +158,26 @@ class TestTrainerEndToEnd:
         # resume picks up after epoch 2
         tr2 = Trainer(cfg, checkpoints_path=str(tmp_path / "ckpt"), use_mesh=False)
         assert tr2.load_last() == 3
+
+
+class TestRemat:
+    def test_remat_step_matches_plain(self, tmp_path):
+        """jax.checkpoint over the pair forward must leave losses (and the
+        updated params) bitwise-comparable — it only trades FLOPs for
+        activation memory."""
+        import dataclasses
+        _make_fake_mel_tree(str(tmp_path / "mels"))
+        ds = PairedMelDataset(str(tmp_path / "mels"), samples_length=16,
+                              seed=0)
+        losses = {}
+        for remat in (False, True):
+            cfg = tiny_config(batch_size=2)
+            cfg = cfg.replace(train=dataclasses.replace(cfg.train,
+                                                        remat=remat))
+            tr = Trainer(cfg, use_mesh=False)
+            totals = tr.train_epoch(ds, 1)
+            losses[remat] = totals["total"]
+            ds = PairedMelDataset(str(tmp_path / "mels"), samples_length=16,
+                                  seed=0)  # identical pairing both runs
+        np.testing.assert_allclose(losses[True], losses[False],
+                                   rtol=1e-6, atol=1e-6)
