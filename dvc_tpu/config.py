@@ -32,6 +32,9 @@ class AudioConfig:
     ref_level_db: float = 16.0
     rescaling: bool = True
     rescaling_max: float = 0.999
+    # hparams-parity record (preprocessing/hparams.py:76): the reference
+    # runs with True and ops/mel.py implements exactly that (clip to [0,1]);
+    # the False branch (assert instead of clip) is intentionally not built
     allow_clipping_in_normalization: bool = True
     # STFT window. The reference uses lws(fft, hop, mode="speech")
     # (preprocessing/utils.py:84-86); magnitude-only use means the analysis
@@ -51,7 +54,8 @@ class AudioConfig:
     # Partial-utterance windows for the speaker encoder
     # (preprocessing/encoder/params_data.py:11-13)
     partials_n_frames: int = 63
-    inference_n_frames: int = 80
+    inference_n_frames: int = 80  # parity record (params_data.py:13; the
+                                  # reference itself never reads it either)
 
     @property
     def n_freq(self) -> int:
@@ -132,10 +136,16 @@ class VocoderConfig:
     kernel_size: int = 3
     dropout: float = 1 - 0.95
     cin_channels: int = 80
+    # hparams-parity record: -1 = global (speaker) conditioning disabled,
+    # the reference's setting (hparams.py:102); a gin path is not built
     gin_channels: int = -1
     upsample_scales: Sequence[int] = (4, 4, 4, 4)
     freq_axis_kernel_size: int = 3
     log_scale_min: float = -32.23619130191664
+    # hparams-parity record: the reference TRAINS with torch weight_norm;
+    # here convs are plain and the torch->flax converter fuses g*v/||v||
+    # into the kernel at load (utils/torch_convert.py) — numerically the
+    # same inference weights
     weight_normalization: bool = True
     legacy: bool = True
 
