@@ -51,6 +51,10 @@ def make_vocoder(ckpt_path: str | None, cfg: VocoderConfig = VocoderConfig(),
     """
     if variables is None:
         variables = load_vocoder_params(ckpt_path, cfg)
+    # pin on device once (checkpoint loads yield host numpy trees; the scan
+    # backend would otherwise re-upload them per call — the pallas backend
+    # already memoizes its packed device copy)
+    variables = jax.device_put(variables)
     rng = jax.random.PRNGKey(seed)
     hop = int(np.prod(cfg.upsample_scales))
     if backend == "auto":
@@ -105,6 +109,10 @@ def make_istft_vocoder(ckpt_path: str, cfg=None, audio=None,
     target = {"params": model.init(jax.random.PRNGKey(0), mel0)["params"]}
     with open(ckpt_path, "rb") as f:
         variables = serialization.from_bytes(target, f.read())
+    # pin params on device ONCE: from_bytes yields host numpy arrays, and
+    # passing those to the jitted generator re-uploads the full tree
+    # (~80 MB over a remote link) on EVERY call
+    variables = jax.device_put(variables)
     hop = audio.hop_size
 
     import functools

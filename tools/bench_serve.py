@@ -30,6 +30,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--requests", type=int, default=8)
     ap.add_argument("--frames", type=int, default=188)  # ~3 s utterances
+    ap.add_argument("--vocoder", default="wavenet",
+                    choices=["wavenet", "istft"])
     args = ap.parse_args()
 
     import jax
@@ -53,13 +55,30 @@ def main():
     variables = model.init({"params": rng, "reparam": rng}, x, x, train=True)
     variables = {"params": variables["params"],
                  "batch_stats": variables["batch_stats"]}
-    from dvc_tpu.convert.vocode import make_vocoder
     vcfg = C.VocoderConfig()
     hop = int(np.prod(vcfg.upsample_scales))
-    wn_vars = WaveNet(vcfg).init(jax.random.PRNGKey(1),
-                                 jnp.zeros((1, 4 * hop, 1)),
-                                 jnp.zeros((1, 4, 80)))
-    vocoder = make_vocoder(None, vcfg, backend="pallas", variables=wn_vars)
+    if args.vocoder == "istft":
+        import tempfile as _tf
+
+        from flax import serialization
+
+        from dvc_tpu.config import ISTFTVocoderConfig
+        from dvc_tpu.convert.vocode import make_istft_vocoder
+        from dvc_tpu.models.istft_vocoder import ISTFTVocoder
+
+        iv = ISTFTVocoder(ISTFTVocoderConfig(), cfg.audio)
+        iv_vars = iv.init(jax.random.PRNGKey(1), jnp.zeros((1, 80, 4)))
+        with _tf.NamedTemporaryFile(suffix=".msgpack", delete=False) as f:
+            f.write(serialization.to_bytes({"params": iv_vars["params"]}))
+            ckpt = f.name
+        vocoder = make_istft_vocoder(ckpt, audio=cfg.audio)
+    else:
+        from dvc_tpu.convert.vocode import make_vocoder
+        wn_vars = WaveNet(vcfg).init(jax.random.PRNGKey(1),
+                                     jnp.zeros((1, 4 * hop, 1)),
+                                     jnp.zeros((1, 4, 80)))
+        vocoder = make_vocoder(None, vcfg, backend="pallas",
+                               variables=wn_vars)
 
     np_rng = np.random.RandomState(0)
     with tempfile.TemporaryDirectory() as mel_dir:
@@ -103,7 +122,7 @@ def main():
             cfg.audio.sample_rate)
         s = service.stats
         print(json.dumps({
-            "metric": "serve_concurrent_requests_realtime_x",
+            "metric": f"serve_concurrent_requests_realtime_x_{args.vocoder}",
             "value": round(audio_s / best, 1), "unit": "x realtime aggregate",
             "requests": args.requests, "audio_s": round(audio_s, 1),
             "wall_s": round(best, 3),
