@@ -81,7 +81,9 @@ class SpeakerEmbedder:
             lambda params, x: self.model.apply({"params": params}, x))
 
     def load(self, params) -> None:
-        self.params = params
+        # pin on device once: checkpoint restores yield host numpy trees,
+        # which a per-call jit argument would re-upload on every embed
+        self.params = jax.device_put(params)
 
     def embed_frames_batch(self, frames_batch: np.ndarray) -> np.ndarray:
         """(B, n_frames, n_mels) -> (B, E)."""

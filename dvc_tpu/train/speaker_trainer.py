@@ -171,6 +171,10 @@ class SpeakerEncoderTrainer:
             return False
         with open(self._state_path, "rb") as f:
             self.state = serialization.from_bytes(self.state, f.read())
+        # pin on device: from_bytes yields host numpy arrays, which the
+        # donated step (and any per-call jit consumer) would otherwise
+        # re-upload every invocation
+        self.state = jax.device_put(self.state)
         return True
 
     # -- loop ---------------------------------------------------------------

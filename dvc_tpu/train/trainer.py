@@ -220,6 +220,10 @@ class Trainer:
             # restore the explicit placement (ZeRO shards, TP shards); a
             # no-op for orbax restores, which already placed every shard
             self.state = jax.device_put(self.state, self._state_shardings)
+        else:
+            # meshless path: pin the host numpy tree on device once, or
+            # every consumer call re-uploads it
+            self.state = jax.device_put(self.state)
         return epoch + 1
 
     def save(self, epoch: int) -> str:
