@@ -55,13 +55,19 @@ class ISTFTVocoder(nn.Module):
         log_prior = jnp.log(prior + 1e-5)
         n_freq = prior.shape[-1]
 
+        # LayerNorms keep the trunk's activation scale independent of the
+        # raw log-magnitude range (~±11): without them, any drift in the
+        # zero-init magnitude head multiplies O(30) activations and the
+        # loss climbs 10x in the first 50 steps (measured) before slowly
+        # recovering
         h = nn.Conv(self.cfg.channels, (7,), padding=[(3, 3)],
                     name="stem")(log_prior)
+        h = nn.LayerNorm(name="stem_norm")(h)
         for i in range(self.cfg.blocks):
             d = self.cfg.dilation_cycle[i % len(self.cfg.dilation_cycle)]
             h = _Block(self.cfg.channels, self.cfg.kernel_size, d,
                        name=f"block{i}")(h)
-        h = nn.silu(h)
+        h = nn.LayerNorm(name="head_norm")(nn.silu(h))
         # magnitude: learned log residual on the pinv prior (FreeV's
         # parallel-estimate trick: the net only models what pinv misses)
         log_res = nn.Conv(n_freq, (1,), name="mag_head",
