@@ -90,6 +90,8 @@ def melspectrogram(wav: np.ndarray, sample_rate: int = 16_000,
 def melspectrogram_batch(wavs: list[np.ndarray], n_threads: int = 0,
                          **kw) -> list[np.ndarray]:
     """Thread-pooled batched mel extraction (one C call for the whole list)."""
+    if not wavs:
+        return []
     lib = _load()
     if lib is None:
         raise RuntimeError("native DSP library unavailable")
