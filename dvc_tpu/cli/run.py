@@ -166,6 +166,10 @@ def cmd_train_autovc(args) -> int:
         make_autovc_step,
     )
 
+    if args.samples_length is None:
+        # AutoVC always trains on mel crops; resolve the shared None default
+        # here since this command does not go through _config_from_args
+        args.samples_length = 64
     ds = PairedMelDataset(args.dataset_fp, samples_length=args.samples_length)
     acfg = AutoVCConfig()
 

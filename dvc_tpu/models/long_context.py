@@ -136,10 +136,11 @@ def whole_utterance_encode(cfg: VAEConfig, variables, mel,
         mel = jnp.pad(mel, ((0, 0), (0, 0), (0, pad)))
     if mesh is not None:
         n_dev = int(np.prod(list(mesh.shape.values())))
-        assert mel.shape[-1] % n_dev == 0, (
-            f"padded frame count {mel.shape[-1]} must divide the "
-            f"{n_dev}-device mesh; pick an utterance length or mesh size "
-            f"accordingly")
+        if mel.shape[-1] % n_dev != 0:
+            raise ValueError(
+                f"padded frame count {mel.shape[-1]} must divide the "
+                f"{n_dev}-device mesh; pick an utterance length or mesh "
+                f"size accordingly")
     return _encode_jit(cfg, variables, mel, mesh)
 
 
@@ -173,7 +174,9 @@ def convert_mel_long_context(model: DisentangledVAE, variables,
     independent 64-frame chunks.  The decoder path is unchanged (still
     per-chunk — its 8192-wide reshape is architectural)."""
     cfg = model.cfg
-    assert frames == cfg.frames
+    if frames != cfg.frames:
+        raise ValueError(f"frames={frames} does not match the model's "
+                         f"architectural chunk size cfg.frames={cfg.frames}")
     src = whole_utterance_encode(cfg, variables,
                                  jnp.asarray(source_mel)[None], mesh)
     trg = whole_utterance_encode(cfg, variables,

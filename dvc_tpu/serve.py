@@ -91,6 +91,9 @@ class ConversionService:
         self.stats = {"requests": 0, "batches": 0, "chunks": 0,
                       "errors": 0}
         self._latencies: list[float] = []  # rolling window, seconds
+        # guards stats/_latencies: mutated by the worker thread, read by
+        # /stats handler threads
+        self._stats_lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -182,7 +185,8 @@ class ConversionService:
             try:
                 self._process(batch)
             except Exception as e:  # pragma: no cover - defensive
-                self.stats["errors"] += len(batch)
+                with self._stats_lock:
+                    self.stats["errors"] += len(batch)
                 for r in batch:
                     r.error = e
                     r.done.set()
@@ -201,7 +205,8 @@ class ConversionService:
                 # disk, ...) must not poison the co-batched requests
                 r.error = e
                 r.done.set()
-                self.stats["errors"] += 1
+                with self._stats_lock:
+                    self.stats["errors"] += 1
                 continue
             c = chunk_mel(jnp.asarray(r.mel, jnp.float32), frames)
             spans.append((r, offset, c.shape[0]))
@@ -240,11 +245,12 @@ class ConversionService:
         for r, w in zip(owners, wavs):
             r.result = np.asarray(w)
             r.done.set()
-            self._latencies.append(now - r.t_submit)
-        del self._latencies[:-512]  # rolling window
-        self.stats["requests"] += len(owners)
-        self.stats["batches"] += 1
-        self.stats["chunks"] += n
+        with self._stats_lock:
+            self._latencies.extend(now - r.t_submit for r in owners)
+            del self._latencies[:-512]  # rolling window
+            self.stats["requests"] += len(owners)
+            self.stats["batches"] += 1
+            self.stats["chunks"] += n
 
 
 def make_http_server(service: ConversionService, host: str = "127.0.0.1",
@@ -285,10 +291,11 @@ def make_http_server(service: ConversionService, host: str = "127.0.0.1",
                 self._json(200, {"status": "ok",
                                  "speakers": service.speakers()})
             elif path == "/stats":
-                s = dict(service.stats)
+                with service._stats_lock:
+                    s = dict(service.stats)
+                    lat = list(service._latencies)
                 s["batching_ratio"] = (s["requests"] / s["batches"]
                                        if s["batches"] else 0.0)
-                lat = service._latencies
                 if lat:
                     arr = np.sort(np.asarray(lat))
                     s["latency_ms"] = {

@@ -307,7 +307,8 @@ class Trainer:
                 # (variational_base_vae.py:199-202)
                 if self.estimation_dir:
                     try:
-                        self.estimate_trained_model(dataset, self.estimation_dir)
+                        self.estimate_trained_model(dataset, self.estimation_dir,
+                                                    logging_func=logging_func)
                     except Exception as e:  # plotting is best-effort
                         logging_func(
                             f"estimation dump failed: {type(e).__name__}: {e}")
@@ -334,7 +335,8 @@ class Trainer:
         return out
 
     def estimate_trained_model(self, dataset, estimation_dir: str,
-                               n_images: int = 5) -> int:
+                               n_images: int = 5,
+                               logging_func=print) -> int:
         """Reload the latest checkpoint, reconstruct one batch in eval mode,
         and dump original/reconstructed mel pngs (parity with reference
         estimate_trained_model, model/variational_base_vae.py:205-239)."""
@@ -351,9 +353,12 @@ class Trainer:
         # reference takes the POST-postnet reconstructions for the pngs
         # (variational_base_vae.py:218: `_,_,recons_x1, recons_x2, ...`)
         recons_x1 = np.asarray(outs[2])
-        try:
-            from dvc_tpu.utils.plotting import save_mel_png
-            for i in range(min(n_images, len(x1))):
+        from dvc_tpu.utils.plotting import save_mel_png
+        failures = 0
+        for i in range(min(n_images, len(x1))):
+            # one bad png (matplotlib backend, disk) must not abort the rest;
+            # report the count once instead of silently swallowing
+            try:
                 save_mel_png(recons_x1[i],
                              os.path.join(estimation_dir,
                                           f"{epoch}_recons_mel_{i}.png"),
@@ -362,8 +367,13 @@ class Trainer:
                              os.path.join(estimation_dir,
                                           f"{epoch}_original_mel_{i}.png"),
                              "original mel spectrogram")
-        except Exception:
-            pass
+            except Exception as e:
+                failures += 1
+                if failures == 1:
+                    logging_func(f"estimation png dump failed: "
+                                 f"{type(e).__name__}: {e}")
+        if failures > 1:
+            logging_func(f"estimation png dump: {failures} images failed")
         return epoch
 
     def _get_writer(self):

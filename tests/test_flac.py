@@ -79,7 +79,7 @@ class TestFlacRoundTrip:
         with pytest.raises(ValueError):
             native_flac.read_flac(str(p))
 
-    def test_read_audio_dispatch(self, tmp_path):
+    def test_read_audio_dispatch(self, tmp_path, monkeypatch):
         from dvc_tpu.utils.wavio import read_audio, write_wav
 
         wav = 0.2 * np.sin(2 * np.pi * 100 * np.arange(4000) / FS)
@@ -94,6 +94,9 @@ class TestFlacRoundTrip:
         # convention); write_flac preserves level — compare shapes after
         # undoing the known gain
         np.testing.assert_allclose(gf[:len(gw)], gw * 0.2, atol=2e-4)
+        # with ffmpeg hidden, unsupported containers fail with a clear
+        # NotImplementedError regardless of what is installed on this host
+        monkeypatch.setenv("PATH", str(tmp_path / "emptybin"))
         with pytest.raises(NotImplementedError):
             read_audio(str(tmp_path / "b.m4a"))
 
