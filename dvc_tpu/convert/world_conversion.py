@@ -11,7 +11,9 @@ path).  This driver completes that path the TPU-native way:
   2. de-normalize with the target speaker's mcep statistics;
   3. mc2sp back to a spectral envelope (exact pysptk math);
   4. log-Gaussian pitch conversion src->trg (WORLD_processing.py:187-192);
-  5. WORLD-style mixed-excitation synthesis (ops/world.synthesize).
+  5. WORLD synthesis (ops/world.world_speech_synthesis: the native
+     WORLD-faithful pulse-by-pulse engine when built, else the batched
+     on-device approximation).
 """
 
 from __future__ import annotations
@@ -26,7 +28,7 @@ from dvc_tpu.ops.world import (
     mc2sp,
     mcepalpha,
     pitch_conversion,
-    synthesize,
+    world_speech_synthesis,
 )
 
 
@@ -95,9 +97,7 @@ def world_convert_utterance(model, variables, src_npz: dict, trg_npz: dict,
     # 5. aperiodicity (re-estimated flat for converted speech) + synthesis
     ap = np.full((t, sp.shape[1]), 0.2, np.float32)
     ap[~voiced] = 1.0 - 1e-12
-    wav = synthesize(jnp.asarray(f0_conv[:t], jnp.float32),
-                     jnp.asarray(sp[:t], jnp.float32),
-                     jnp.asarray(ap, jnp.float32), fs, frame_period)
+    wav = world_speech_synthesis(f0_conv[:t], sp[:t], ap, fs, frame_period)
     wav = np.asarray(wav)
     peak = np.abs(wav).max()
     return wav / peak * 0.95 if peak > 1e-8 else wav

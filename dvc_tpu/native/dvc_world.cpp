@@ -288,6 +288,67 @@ double love_train_frame(const float* x, long n, int fs, double f0v,
   return low / std::max(full, kEps);
 }
 
+// ------------------------------------------------- synthesis helpers ------
+// Deterministic per-pulse RNG (splitmix64 + Box-Muller): each excitation
+// pulse owns an independent stream keyed by (seed, pulse index), so the
+// synthesized waveform is bit-identical at any thread count.
+struct PulseRng {
+  uint64_t s;
+  PulseRng(uint64_t seed, uint64_t stream)
+      : s(seed * 0x9E3779B97F4A7C15ULL + stream + 1) {}
+  uint64_t next() {
+    s += 0x9E3779B97F4A7C15ULL;
+    uint64_t z = s;
+    z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+    z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+    return z ^ (z >> 31);
+  }
+  double uniform() {  // (0, 1]
+    return (next() >> 11) * (1.0 / 9007199254740992.0) + 5.6e-17;
+  }
+  double normal() {
+    double u1 = uniform(), u2 = uniform();
+    return std::sqrt(-2.0 * std::log(u1)) * std::cos(2.0 * kPi * u2);
+  }
+};
+
+// Log-magnitude (fft_size/2+1 bins) -> minimum-phase complex spectrum
+// (fft_size, conjugate-symmetric) via the cepstral method: mirror the log
+// spectrum, IFFT to the (even, real) cepstrum, fold onto the causal side,
+// FFT back, exponentiate.  re/im are fft_size scratch that receive the
+// result.
+void minimum_phase_spectrum(const double* logmag, int fft_size, double* re,
+                            double* im) {
+  const int n_freq = fft_size / 2 + 1;
+  for (int k = 0; k < n_freq; ++k) {
+    re[k] = logmag[k];
+    im[k] = 0.0;
+  }
+  for (int k = n_freq; k < fft_size; ++k) {
+    re[k] = logmag[fft_size - k];
+    im[k] = 0.0;
+  }
+  fft_inplace(re, im, fft_size, /*inverse=*/true);  // real even cepstrum
+  for (int k = 1; k < fft_size / 2; ++k) {
+    re[k] *= 2.0;
+    im[k] *= 2.0;
+  }
+  for (int k = fft_size / 2 + 1; k < fft_size; ++k) {
+    re[k] = 0.0;
+    im[k] = 0.0;
+  }
+  fft_inplace(re, im, fft_size, /*inverse=*/false);  // log min-phase spectrum
+  for (int k = 0; k < fft_size; ++k) {
+    double mag = std::exp(re[k]);
+    re[k] = mag * std::cos(im[k]);
+    im[k] = mag * std::sin(im[k]);
+  }
+}
+
+double safe_aperiodicity(double x) {
+  return std::min(0.999999999999, std::max(0.001, x));
+}
+
 }  // namespace
 
 extern "C" {
@@ -784,6 +845,186 @@ int dvc_d4c(const float* x, long n, int fs, const double* f0, int n_frames,
     }
   });
   return failed.load() ? -1 : 0;
+}
+
+// WORLD-faithful synthesis (role of pyworld.synthesize, reference
+// preprocessing/WORLD_processing.py:99-106).  Per the WORLD vocoder
+// (Morise 2016): the F0 contour is interpolated to sample rate, glottal
+// pulse instants are the 2*pi wrap points of the accumulated phase (with a
+// fractional-sample offset from the linear zero crossing), and each pulse
+// contributes one fft_size-long response that is the sum of
+//   * a periodic part: minimum-phase response of the envelope with the
+//     aperiodic power removed, sp*(1-ap^2), fractionally time-shifted by a
+//     linear phase and scaled by sqrt(pulse interval) for flat power;
+//   * an aperiodic part: a white-noise segment spanning the pulse interval
+//     shaped by the minimum-phase response of sp*ap^2 (full sp when
+//     unvoiced — unvoiced regions tick at a 500 Hz default rate and carry
+//     noise only).
+// Envelopes are linearly interpolated to the pulse time; aperiodicity is
+// geometrically interpolated and squared (amplitude ratio -> power ratio).
+// Responses are overlap-added causally at the pulse instant.
+//
+// f0: (n_frames,), sp/ap: (n_frames, fft_size/2+1) row-major (CheapTrick
+// power envelope, D4C amplitude-ratio aperiodicity).  y_out must hold
+// y_length doubles (zeroed here).  Returns 0, -1 on bad args.
+int dvc_synthesis(const double* f0, int n_frames, const double* sp,
+                  const double* ap, int fft_size, int fs,
+                  double frame_period_ms, long y_length,
+                  unsigned long long seed, double* y_out) {
+  if (!f0 || !sp || !ap || !y_out || n_frames <= 0 || y_length <= 0 ||
+      fft_size < 8 || (fft_size & (fft_size - 1)) != 0 || fs <= 0 ||
+      frame_period_ms <= 0.0)
+    return -1;
+  const int n_freq = fft_size / 2 + 1;
+  const double fp = frame_period_ms / 1000.0;
+  const double lowest_f0 = static_cast<double>(fs) / fft_size + 1.0;
+  const double default_f0 = 500.0;  // unvoiced time-base rate (WORLD value)
+  const double safe_guard = 1e-12;
+
+  // ---- per-sample time base --------------------------------------------
+  // coarse f0/vuv with one linearly extrapolated trailing frame so the
+  // interpolation covers the full y_length
+  std::vector<double> cf0(n_frames + 1), cvuv(n_frames + 1);
+  for (int i = 0; i < n_frames; ++i) {
+    cf0[i] = (f0[i] < lowest_f0) ? 0.0 : f0[i];
+    cvuv[i] = cf0[i] > 0.0 ? 1.0 : 0.0;
+  }
+  cf0[n_frames] = n_frames >= 2
+                      ? std::max(0.0, 2.0 * cf0[n_frames - 1] - cf0[n_frames - 2])
+                      : cf0[n_frames - 1];
+  cvuv[n_frames] = cvuv[n_frames - 1];
+
+  std::vector<double> if0(y_length), ivuv(y_length);
+  for (long i = 0; i < y_length; ++i) {
+    double pos = (static_cast<double>(i) / fs) / fp;
+    int j = std::min(n_frames - 1, static_cast<int>(pos));
+    double a = std::min(1.0, std::max(0.0, pos - j));
+    double v = cvuv[j] * (1.0 - a) + cvuv[j + 1] * a;
+    double f = cf0[j] * (1.0 - a) + cf0[j + 1] * a;
+    ivuv[i] = v;
+    if0[i] = (v > 0.5) ? std::max(f, lowest_f0) : default_f0;
+  }
+
+  // ---- pulse instants from the accumulated phase ------------------------
+  std::vector<long> pidx;
+  std::vector<double> pshift;
+  {
+    double total = 0.0, wrap_prev = 0.0;
+    for (long i = 0; i < y_length; ++i) {
+      total += 2.0 * kPi * if0[i] / fs;
+      double wrap = std::fmod(total, 2.0 * kPi);
+      if (i > 0 && std::fabs(wrap - wrap_prev) > kPi) {
+        // phase crossed 2*pi between samples i-1 and i
+        double y1 = wrap_prev - 2.0 * kPi;
+        double y2 = wrap;
+        double x = (y2 > y1) ? -y1 / (y2 - y1) : 0.0;  // zero crossing in [0,1]
+        pidx.push_back(i - 1);
+        pshift.push_back(x / fs);
+      }
+      wrap_prev = wrap;
+    }
+  }
+  std::memset(y_out, 0, sizeof(double) * y_length);
+  const long n_pulses = static_cast<long>(pidx.size());
+  if (n_pulses == 0) return 0;
+
+  // hann-shaped DC remover (unit sum): the periodic min-phase response has
+  // a small DC bias that would accumulate across overlap-added pulses
+  std::vector<double> dc_remover(fft_size);
+  {
+    double s = 0.0;
+    for (int i = 0; i < fft_size; ++i) {
+      dc_remover[i] =
+          0.5 - 0.5 * std::cos(2.0 * kPi * (i + 1.0) / (1.0 + fft_size));
+      s += dc_remover[i];
+    }
+    for (int i = 0; i < fft_size; ++i) dc_remover[i] /= s;
+  }
+
+  // ---- per-pulse responses (parallel; deterministic per-pulse RNG) ------
+  std::vector<double> resp(static_cast<size_t>(n_pulses) * fft_size, 0.0);
+  parallel_for(n_pulses, [&](long p) {
+    const long idx = pidx[p];
+    const long next_idx = (p + 1 < n_pulses) ? pidx[p + 1] : y_length;
+    const int noise_size = static_cast<int>(
+        std::max<long>(1, std::min<long>(fft_size, next_idx - idx)));
+    const double vuv = ivuv[idx];
+    const double pos = (static_cast<double>(idx) / fs) / fp;
+    const int j0 = std::min(n_frames - 1, static_cast<int>(pos));
+    const int j1 = std::min(n_frames - 1, j0 + 1);
+    const double a = std::min(1.0, std::max(0.0, pos - j0));
+    const double* sp0 = sp + static_cast<size_t>(j0) * n_freq;
+    const double* sp1 = sp + static_cast<size_t>(j1) * n_freq;
+    const double* ap0 = ap + static_cast<size_t>(j0) * n_freq;
+    const double* ap1 = ap + static_cast<size_t>(j1) * n_freq;
+
+    std::vector<double> env(n_freq), ap2(n_freq), logmag(n_freq);
+    for (int k = 0; k < n_freq; ++k) {
+      env[k] = sp0[k] * (1.0 - a) + sp1[k] * a;
+      double g = std::pow(safe_aperiodicity(ap0[k]), 1.0 - a) *
+                 std::pow(safe_aperiodicity(ap1[k]), a);
+      ap2[k] = g * g;
+    }
+
+    double* out = resp.data() + static_cast<size_t>(p) * fft_size;
+    std::vector<double> re(fft_size), im(fft_size);
+
+    // periodic part
+    if (vuv > 0.5 && ap2[0] <= 0.999) {
+      for (int k = 0; k < n_freq; ++k)
+        logmag[k] =
+            0.5 * std::log(std::max(env[k] * (1.0 - ap2[k]), 0.0) + safe_guard);
+      minimum_phase_spectrum(logmag.data(), fft_size, re.data(), im.data());
+      // fractional time shift as linear phase (conjugate-symmetric)
+      const double coef = 2.0 * kPi * pshift[p] * fs / fft_size;
+      for (int k = 0; k < fft_size; ++k) {
+        double kf = (k <= fft_size / 2) ? k : k - fft_size;
+        double cr = std::cos(-coef * kf), ci = std::sin(-coef * kf);
+        double nr = re[k] * cr - im[k] * ci;
+        im[k] = re[k] * ci + im[k] * cr;
+        re[k] = nr;
+      }
+      fft_inplace(re.data(), im.data(), fft_size, /*inverse=*/true);
+      double dc = 0.0;
+      for (int k = 0; k < fft_size; ++k) dc += re[k];
+      const double scale = std::sqrt(static_cast<double>(noise_size));
+      for (int k = 0; k < fft_size; ++k)
+        out[k] = (re[k] - dc_remover[k] * dc) * scale;
+    }
+
+    // aperiodic part: white-noise segment spanning the pulse interval,
+    // shaped by the minimum-phase response of the aperiodic envelope
+    std::vector<double> nre(fft_size, 0.0), nim(fft_size, 0.0);
+    PulseRng rng(seed, static_cast<uint64_t>(p));
+    double avg = 0.0;
+    for (int i = 0; i < noise_size; ++i) {
+      nre[i] = rng.normal();
+      avg += nre[i];
+    }
+    avg /= noise_size;
+    for (int i = 0; i < noise_size; ++i) nre[i] -= avg;
+    fft_inplace(nre.data(), nim.data(), fft_size, /*inverse=*/false);
+    for (int k = 0; k < n_freq; ++k)
+      logmag[k] = 0.5 * std::log(env[k] * (vuv > 0.5 ? ap2[k] : 1.0) +
+                                 safe_guard);
+    minimum_phase_spectrum(logmag.data(), fft_size, re.data(), im.data());
+    for (int k = 0; k < fft_size; ++k) {
+      double cr = re[k] * nre[k] - im[k] * nim[k];
+      im[k] = re[k] * nim[k] + im[k] * nre[k];
+      re[k] = cr;
+    }
+    fft_inplace(re.data(), im.data(), fft_size, /*inverse=*/true);
+    for (int k = 0; k < fft_size; ++k) out[k] += re[k];
+  });
+
+  // ---- serial overlap-add (fixed order; causal at the pulse instant) ----
+  for (long p = 0; p < n_pulses; ++p) {
+    const double* r = resp.data() + static_cast<size_t>(p) * fft_size;
+    const long base = pidx[p];
+    const long hi = std::min<long>(fft_size, y_length - base);
+    for (long j = 0; j < hi; ++j) y_out[base + j] += r[j];
+  }
+  return 0;
 }
 
 }  // extern "C"

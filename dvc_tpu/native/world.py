@@ -41,6 +41,12 @@ def _load():
         ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_int,
         ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_double,
         ctypes.c_int, ctypes.c_double, ctypes.POINTER(ctypes.c_double)]
+    lib.dvc_synthesis.restype = ctypes.c_int
+    lib.dvc_synthesis.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_long,
+        ctypes.c_ulonglong, ctypes.POINTER(ctypes.c_double)]
     _lib = lib
     return lib
 
@@ -99,3 +105,38 @@ def d4c(wav: np.ndarray, f0: np.ndarray, fs: int, frame_period: float = 5.0,
     if got != 0:
         raise RuntimeError(f"native d4c failed ({got})")
     return out
+
+
+def synthesize(f0: np.ndarray, sp: np.ndarray, ap: np.ndarray, fs: int,
+               frame_period: float = 5.0, y_length: int | None = None,
+               seed: int = 0) -> np.ndarray:
+    """WORLD-faithful synthesis (pyworld.synthesize contract, reference
+    WORLD_processing.py:99-106): f0 (N,), sp/ap (N, fft_size//2+1) CheapTrick
+    power envelope / D4C aperiodicity -> waveform.  Minimum-phase responses
+    per glottal pulse with fractional-pitch placement and per-bin
+    aperiodicity-weighted periodic/noise mixing; deterministic for a given
+    seed at any thread count."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native WORLD library unavailable")
+    sp = np.ascontiguousarray(sp, np.float64)
+    ap = np.ascontiguousarray(ap, np.float64)
+    f0 = np.ascontiguousarray(f0, np.float64)
+    n_frames, n_freq = sp.shape
+    if ap.shape != sp.shape or len(f0) != n_frames:
+        raise ValueError(f"shape mismatch: f0 {f0.shape}, sp {sp.shape}, "
+                         f"ap {ap.shape}")
+    fft_size = 2 * (n_freq - 1)
+    if y_length is None:
+        # pyworld rule: one frame_period of audio per frame
+        y_length = int(n_frames * frame_period * fs / 1000.0)
+    y = np.zeros(y_length, np.float64)
+    got = lib.dvc_synthesis(
+        f0.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n_frames,
+        sp.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ap.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        fft_size, fs, frame_period, y_length, seed,
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    if got != 0:
+        raise RuntimeError(f"native synthesis failed ({got})")
+    return y.astype(np.float32)

@@ -24,9 +24,16 @@ algorithms, designed for batched on-device execution:
                        WORLD_processing.py:35);
   * aperiodicity     — on-device fallback: band aperiodicity from normalized
                        harmonic correlation (coarse approximation);
-  * synthesize       — pulse+noise excitation shaped by the minimum-phase
-                       envelope response, overlap-add (role of
-                       pyworld.synthesize, WORLD_processing.py:99-106);
+  * synthesis: the production path is the native WORLD-faithful
+                       synthesizer (native/dvc_world.cpp:dvc_synthesis —
+                       minimum-phase responses per glottal pulse at
+                       fractional-pitch instants, per-bin ap^2 power split,
+                       the algorithm of pyworld.synthesize at
+                       WORLD_processing.py:99-106), fidelity-gated by
+                       round-trip tests;
+  * synthesize       — batched on-device fallback: per-bin mixed excitation
+                       shaped by per-frame minimum-phase responses,
+                       overlap-add at the frame rate;
   * sp2mc / mc2sp    — EXACT mel-cepstrum math of pysptk (freqt recursion,
                        mcepalpha), so MCD numbers (MCD_calculate.py:86-93)
                        are computed in the same cepstral space.
@@ -340,10 +347,17 @@ def _minimum_phase_ir(sp: jax.Array, fft_size: int) -> jax.Array:
 
 def synthesize(f0: jax.Array, sp: jax.Array, ap: jax.Array, fs: int = 16_000,
                frame_period: float = 5.0, seed: int = 0) -> jax.Array:
-    """WORLD-style synthesis (role of pyworld.synthesize,
-    WORLD_processing.py:99-106): mixed excitation (pulse train by integrated
-    f0 + white noise weighted by aperiodicity) convolved with the per-frame
-    minimum-phase envelope response, overlap-added at the frame rate.
+    """WORLD-style synthesis, batched on-device (role of pyworld.synthesize,
+    WORLD_processing.py:99-106; the host-side pulse-by-pulse faithful path is
+    native/dvc_world.cpp:dvc_synthesis, used by world_speech_synthesis when
+    the C++ engine is available).
+
+    Per-bin aperiodicity-weighted mixed excitation, the WORLD power split:
+    the pulse train (integrated-F0 positions, sqrt(T0) amplitude) is shaped
+    by the minimum-phase response of the periodic envelope sp*(1-ap^2) and
+    white noise by that of the aperiodic envelope sp*ap^2 (full sp when
+    unvoiced); both are overlap-added at the frame rate.  All frames run as
+    one device batch — no per-pulse host loop.
     """
     n_frames, n_freq = sp.shape
     fft_size = 2 * (n_freq - 1)
@@ -361,22 +375,26 @@ def synthesize(f0: jax.Array, sp: jax.Array, ap: jax.Array, fs: int = 16_000,
     pulse_sig = pulse.astype(jnp.float32) * jnp.sqrt(jnp.maximum(t0, 0.0))
     noise = jax.random.normal(jax.random.PRNGKey(seed), (total,))
 
-    # frame-level mixing by mean aperiodicity (coarse; d4c uses per-band)
-    ap_mean = jnp.repeat(jnp.mean(ap, axis=-1), hop)
-    voiced_mask = jnp.repeat((f0 > 0).astype(jnp.float32), hop)
-    excitation = voiced_mask * (jnp.sqrt(1.0 - ap_mean**2) * pulse_sig
-                                + ap_mean * noise) \
-        + (1.0 - voiced_mask) * noise
+    # per-bin power split (d4c aperiodicity is an amplitude ratio)
+    voiced = (f0 > 0)[:, None]
+    ap2 = jnp.clip(ap, 1e-3, 1.0 - 1e-12) ** 2
+    sp_per = jnp.maximum(sp * (1.0 - ap2), 1e-30)
+    sp_apr = jnp.where(voiced, sp * ap2, sp)
 
-    # per-frame filtering + overlap-add
-    ir = _minimum_phase_ir(sp, fft_size)  # (N, fft)
-    pad_exc = jnp.pad(excitation, (0, fft_size))
+    ir_p = _minimum_phase_ir(sp_per, fft_size) \
+        * voiced.astype(jnp.float32)          # (N, fft)
+    ir_n = _minimum_phase_ir(sp_apr, fft_size)
+
+    # per-frame hop-length excitation segments convolved with that frame's
+    # responses (freq domain), then overlap-add
     idx = (np.arange(n_frames) * hop)[:, None] + np.arange(hop)[None, :]
-    exc_frames = pad_exc[idx]  # (N, hop)
-    # convolve each hop-segment with its frame's IR (freq domain)
-    seg_f = jnp.fft.rfft(exc_frames, n=2 * fft_size, axis=-1)
-    ir_f = jnp.fft.rfft(ir, n=2 * fft_size, axis=-1)
-    seg_out = jnp.fft.irfft(seg_f * ir_f, n=2 * fft_size, axis=-1)  # (N, 2fft)
+    pulse_frames = jnp.pad(pulse_sig, (0, fft_size))[idx]  # (N, hop)
+    noise_frames = jnp.pad(noise, (0, fft_size))[idx]
+    seg_f = jnp.fft.rfft(pulse_frames, n=2 * fft_size, axis=-1) \
+        * jnp.fft.rfft(ir_p, n=2 * fft_size, axis=-1) \
+        + jnp.fft.rfft(noise_frames, n=2 * fft_size, axis=-1) \
+        * jnp.fft.rfft(ir_n, n=2 * fft_size, axis=-1)
+    seg_out = jnp.fft.irfft(seg_f, n=2 * fft_size, axis=-1)  # (N, 2fft)
 
     out = jnp.zeros(total + 2 * fft_size)
     starts = np.arange(n_frames) * hop
@@ -472,8 +490,25 @@ def world_encode_data(wav: np.ndarray, fs: int, frame_period: float = 5.0,
 
 
 def world_speech_synthesis(f0: np.ndarray, sp: np.ndarray, ap: np.ndarray,
-                           fs: int, frame_period: float = 5.0) -> np.ndarray:
-    """Reference world_speech_synthesis (WORLD_processing.py:99-106)."""
+                           fs: int, frame_period: float = 5.0,
+                           use_native: bool | None = None) -> np.ndarray:
+    """Reference world_speech_synthesis (WORLD_processing.py:99-106).
+
+    Production path (whenever the C++ engine builds): the WORLD-faithful
+    pulse-by-pulse synthesizer (native/dvc_world.cpp:dvc_synthesis —
+    minimum-phase responses at fractional-pitch pulse instants, per-bin
+    aperiodic/periodic power split), gated by analysis->synthesis->
+    re-analysis fidelity tests (tests/test_world_synthesis.py).  Fallback:
+    the batched on-device frame-rate approximation (synthesize above)."""
+    from dvc_tpu.native import world as native_world
+
+    if use_native is None:
+        use_native = native_world.available()
+    if use_native:
+        return native_world.synthesize(
+            np.asarray(f0, np.float64), np.asarray(sp, np.float64),
+            np.asarray(ap, np.float64), fs, frame_period,
+            y_length=len(f0) * int(fs * frame_period / 1000.0))
     wav = synthesize(jnp.asarray(f0), jnp.asarray(sp), jnp.asarray(ap),
                      fs, frame_period)
     return np.asarray(wav, np.float32)

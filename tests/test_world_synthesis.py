@@ -1,0 +1,220 @@
+"""Fidelity gates for WORLD synthesis (VERDICT r2 item 1).
+
+The reference synthesizes waveforms with pyworld.synthesize
+(preprocessing/WORLD_processing.py:99-106).  The native engine
+(native/dvc_world.cpp:dvc_synthesis) implements the same algorithm —
+minimum-phase envelope responses placed at fractional-pitch glottal pulse
+instants, per-bin aperiodicity-weighted periodic/noise power split — and is
+gated here by analysis -> synthesis -> re-analysis round trips on synthetic
+vowels:
+
+  * re-extracted F0 within 1% (median) on voiced frames;
+  * MCC MCD (c1..c24, voiced frames) under 1.5 dB.  The measured
+    single-analysis noise floor on a stationary vowel is ~0.26 dB
+    (adjacent-frame MCD), and the round trip applies the CheapTrick
+    envelope projection twice, so ~1.1 dB measured here is the inherent
+    double-analysis cost of the WORLD representation, not a synthesis
+    defect (pyworld's own round trips behave the same).
+
+The batched JAX approximation (ops/world.synthesize) is held to looser
+bounds; the unvoiced path and determinism have their own gates.
+"""
+
+import numpy as np
+import pytest
+
+from dvc_tpu.native import world as native_world
+from dvc_tpu.ops.world import (
+    mcepalpha,
+    sp2mc,
+    spectral_envelope,
+    synthesize,
+    world_speech_synthesis,
+)
+
+FS = 16000
+
+pytestmark = pytest.mark.skipif(not native_world.available(),
+                                reason="native WORLD engine not built")
+
+
+def make_vowel(f0_hz: float, n_sec: float = 1.5, vibrato: float = 0.0,
+               formants=((700, 130, 1.0), (1200, 150, 0.5))) -> np.ndarray:
+    """Formant-filtered, DC-free glottal pulse train (a real excitation has
+    no DC; an impulse train with DC would bias the LF envelope)."""
+    from scipy.signal import lfilter
+
+    n = int(FS * n_sec)
+    t = np.arange(n) / FS
+    f0_t = f0_hz * (1 + vibrato * np.sin(2 * np.pi * 5.0 * t))
+    phase = np.cumsum(f0_t / FS)
+    exc = (np.diff(np.floor(phase), prepend=0) > 0).astype(np.float64)
+    exc -= exc.mean()
+    wav = np.zeros(n)
+    for f, bw, g in formants:
+        r = np.exp(-np.pi * bw / FS)
+        th = 2 * np.pi * f / FS
+        wav += g * lfilter([1 - 2 * r * np.cos(th) + r * r],
+                           [1, -2 * r * np.cos(th), r * r], exc)
+    return (wav / np.abs(wav).max() * 0.6).astype(np.float32)
+
+
+def analyze(wav: np.ndarray):
+    import jax.numpy as jnp
+
+    f0, _ = native_world.harvest(wav, FS)
+    sp = np.asarray(spectral_envelope(jnp.asarray(wav),
+                                      jnp.asarray(f0, jnp.float32), FS),
+                    np.float64)
+    f0 = f0[:len(sp)]
+    ap = native_world.d4c(wav, f0, FS)[:len(sp)]
+    mc = np.asarray(sp2mc(jnp.asarray(sp, jnp.float32), 24, mcepalpha(FS)))
+    return f0, sp, ap, mc
+
+
+def roundtrip_metrics(wav: np.ndarray, synth_fn):
+    f0, sp, ap, mc = analyze(wav)
+    y = np.asarray(synth_fn(f0, sp, ap), np.float32)
+    f0r, _, _, mcr = analyze(y)
+    m = min(len(mc), len(mcr))
+    vb = (f0[:m] > 0) & (f0r[:m] > 0)
+    assert vb.sum() > 50, "round trip lost voicing"
+    f0_err = np.abs(f0r[:m][vb] - f0[:m][vb]) / f0[:m][vb]
+    diff = mc[:m][vb][:, 1:] - mcr[:m][vb][:, 1:]
+    mcd = float(np.mean(10 / np.log(10) * np.sqrt(2 * np.sum(diff**2, 1))))
+    return float(np.median(f0_err)), float(np.percentile(f0_err, 95)), mcd
+
+
+class TestNativeSynthesisFidelity:
+    def test_steady_vowel_roundtrip(self):
+        wav = make_vowel(150.0)
+        f0_med, f0_p95, mcd = roundtrip_metrics(
+            wav, lambda f0, sp, ap: native_world.synthesize(f0, sp, ap, FS))
+        assert f0_med < 0.01, f"median F0 error {f0_med:.4f} >= 1%"
+        assert f0_p95 < 0.01, f"p95 F0 error {f0_p95:.4f} >= 1%"
+        assert mcd < 1.5, f"round-trip MCD {mcd:.2f} dB >= 1.5"
+
+    def test_vibrato_roundtrip(self):
+        """Time-varying F0: pulse placement must track the contour."""
+        wav = make_vowel(150.0, vibrato=0.1)
+        f0_med, f0_p95, mcd = roundtrip_metrics(
+            wav, lambda f0, sp, ap: native_world.synthesize(f0, sp, ap, FS))
+        assert f0_med < 0.01
+        assert mcd < 1.5
+
+    def test_high_pitch_roundtrip(self):
+        wav = make_vowel(260.0, formants=((800, 140, 1.0), (2000, 200, 0.4)))
+        f0_med, _, mcd = roundtrip_metrics(
+            wav, lambda f0, sp, ap: native_world.synthesize(f0, sp, ap, FS))
+        assert f0_med < 0.01
+        assert mcd < 1.8  # fewer harmonics under fs/2 -> noisier envelope
+
+    def test_pulse_train_f0_only(self):
+        """Glottal-tilt pulse train: F0 is the only content to preserve.
+        (The envelope carries a -6 dB/oct tilt — harvest's filter-bank
+        agreement check cannot lock onto a spectrally flat impulse train,
+        where every harmonic is equally strong.)"""
+        n_frames = 200
+        f0 = np.full(n_frames, 120.0)
+        n_freq = 513
+        freqs = np.arange(n_freq) * FS / 1024
+        env = 1e-2 / (1.0 + (freqs / 500.0) ** 2)
+        sp = np.tile(env[None, :], (n_frames, 1))
+        ap = np.full((n_frames, n_freq), 0.001)
+        y = native_world.synthesize(f0, sp, ap, FS).astype(np.float32)
+        f0r, _ = native_world.harvest(y, FS)
+        vb = f0r > 0
+        assert vb.sum() > 100
+        err = np.abs(f0r[vb] - 120.0) / 120.0
+        assert np.median(err) < 0.01
+
+    def test_unvoiced_is_noise(self):
+        """Unvoiced frames must synthesize as envelope-shaped noise: no
+        periodic component (pyworld semantics — WORLD ticks unvoiced time
+        at a default rate but zeroes the periodic response)."""
+        n_frames = 150
+        f0 = np.zeros(n_frames)
+        n_freq = 513
+        sp = np.full((n_frames, n_freq), 1e-4)
+        ap = np.full((n_frames, n_freq), 1.0 - 1e-12)
+        y = native_world.synthesize(f0, sp, ap, FS, seed=3).astype(np.float32)
+        assert np.isfinite(y).all() and y.std() > 0
+        # normalized autocorrelation in the pitch lag range stays low
+        mid = y[2000:10000]
+        mid = mid - mid.mean()
+        ac = np.correlate(mid, mid, "full")[len(mid) - 1:]
+        ac = ac / ac[0]
+        assert np.abs(ac[40:250]).max() < 0.3  # 64-400 Hz lags
+        # and harvest agrees it is unvoiced
+        f0r, _ = native_world.harvest(y, FS)
+        assert (f0r > 0).mean() < 0.2
+
+    def test_mixed_voiced_unvoiced(self):
+        rng = np.random.RandomState(7)
+        wav = np.concatenate([make_vowel(150.0, 1.0),
+                              (0.1 * rng.randn(FS // 2)).astype(np.float32)])
+        f0, sp, ap, _ = analyze(wav)
+        y = native_world.synthesize(f0, sp, ap, FS).astype(np.float32)
+        assert np.isfinite(y).all()
+        # the unvoiced tail keeps noise-like energy
+        assert y[-FS // 4:].std() > 0.05 * y.std()
+
+    def test_deterministic_and_thread_invariant(self, monkeypatch):
+        wav = make_vowel(150.0, 0.6)
+        f0, sp, ap, _ = analyze(wav)
+        y1 = native_world.synthesize(f0, sp, ap, FS, seed=11)
+        y2 = native_world.synthesize(f0, sp, ap, FS, seed=11)
+        np.testing.assert_array_equal(y1, y2)
+        y3 = native_world.synthesize(f0, sp, ap, FS, seed=12)
+        assert not np.array_equal(y1, y3)
+        # per-pulse RNG streams: identical at any worker count
+        monkeypatch.setenv("DVC_WORLD_THREADS", "1")
+        y4 = native_world.synthesize(f0, sp, ap, FS, seed=11)
+        np.testing.assert_array_equal(y1, y4)
+
+    def test_length_contract(self):
+        """pyworld contract: one frame_period of audio per F0 frame."""
+        f0 = np.full(40, 150.0)
+        sp = np.full((40, 513), 1e-4)
+        ap = np.full((40, 513), 0.2)
+        y = native_world.synthesize(f0, sp, ap, FS, frame_period=5.0)
+        assert y.shape == (40 * 80,)
+
+    def test_bad_args_raise(self):
+        with pytest.raises(ValueError):
+            native_world.synthesize(np.zeros(3), np.zeros((4, 513)),
+                                    np.zeros((4, 513)), FS)
+
+
+class TestDispatchAndJaxFallback:
+    def test_world_speech_synthesis_uses_native(self):
+        wav = make_vowel(150.0, 0.6)
+        f0, sp, ap, _ = analyze(wav)
+        out = world_speech_synthesis(f0, sp, ap, FS)
+        ref = native_world.synthesize(f0, sp, ap, FS,
+                                      y_length=len(f0) * 80)
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+
+    def test_jax_path_roundtrip(self):
+        """The batched on-device approximation: same gates, looser MCD."""
+        import jax.numpy as jnp
+
+        wav = make_vowel(150.0)
+        f0_med, _, mcd = roundtrip_metrics(
+            wav,
+            lambda f0, sp, ap: np.asarray(
+                synthesize(jnp.asarray(f0, jnp.float32),
+                           jnp.asarray(sp, jnp.float32),
+                           jnp.asarray(ap, jnp.float32), FS)))
+        assert f0_med < 0.02, f"median F0 error {f0_med:.4f}"
+        assert mcd < 3.0, f"JAX-path round-trip MCD {mcd:.2f} dB"
+
+    def test_jax_unvoiced_noise_shape(self):
+        import jax.numpy as jnp
+
+        n_frames, n_freq = 100, 513
+        f0 = jnp.zeros(n_frames)
+        sp = jnp.full((n_frames, n_freq), 1e-4)
+        ap = jnp.full((n_frames, n_freq), 1.0 - 1e-12)
+        y = np.asarray(synthesize(f0, sp, ap, FS))
+        assert np.isfinite(y).all() and y.std() > 0
