@@ -2,7 +2,13 @@
 
 Prints ONE JSON line:
   {"metric": "vae_train_mel_frames_per_sec_per_chip", "value": N,
-   "unit": "frames/sec", "vs_baseline": R}
+   "unit": "frames/sec", "vs_baseline": R,
+   "flops_per_step": F, "achieved_tflops": T, "mfu": M}
+
+flops_per_step comes from XLA's own cost analysis of the compiled train
+step (fwd + loss + bwd + Adam), so "fast" is machine-checkable:
+achieved_tflops = flops_per_step / step_time, and mfu divides by the
+chip's peak (device-kind table below; VERDICT r2 weak-item 5).
 
 The pair train step consumes 2 * batch * frames mel frames per step (two
 64-frame utterances per pair, matching reference training.sh's workload).
@@ -38,7 +44,38 @@ WARMUP = 3
 ITERS = 20
 
 
-def bench_jax() -> float:
+# peak dense bf16 TFLOP/s per chip by device kind (public figures); the
+# 8192^3 matmul calibration in tools/bench_all.py sustains ~85% of these
+PEAK_TFLOPS = {
+    "TPU v4": 275.0,
+    "TPU v5 lite": 197.0,
+    "TPU v5e": 197.0,
+    "TPU v5p": 459.0,
+    "TPU v6 lite": 918.0,
+    "TPU v6e": 918.0,
+}
+
+
+def _peak_tflops(device_kind: str) -> float | None:
+    for k, v in PEAK_TFLOPS.items():
+        if device_kind.lower().startswith(k.lower()):
+            return v
+    return None
+
+
+def _step_flops(step, state, x1, x2, rng) -> float | None:
+    """XLA's analytic FLOP count for one compiled train step."""
+    try:
+        cost = step.lower(state, x1, x2, rng).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):  # one entry per computation
+            cost = cost[0] if cost else {}
+        flops = float(cost.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
+
+def bench_jax() -> tuple[float, float | None, str]:
     import jax
     import jax.numpy as jnp
     try:  # persistent compile cache: repeat bench runs skip the ~minutes compile
@@ -59,6 +96,9 @@ def bench_jax() -> float:
                      jnp.float32)
     x2 = jnp.asarray(np.random.RandomState(1).rand(BATCH, N_MELS, FRAMES),
                      jnp.float32)
+    # analytic FLOPs from the compiled executable BEFORE the donated-arg
+    # buffers are consumed by the timing loop
+    flops = _step_flops(step, state, x1, x2, rng)
     for _ in range(WARMUP):
         state, terms = step(state, x1, x2, rng)
     float(terms.total)  # NOTE: a value fetch, not block_until_ready — this
@@ -70,7 +110,9 @@ def bench_jax() -> float:
     float(terms.total)  # forces completion of the whole donated-state chain
     dt = (time.perf_counter() - t0) / ITERS
     frames_per_step = 2 * BATCH * FRAMES
-    return frames_per_step / dt
+    device_kind = jax.devices()[0].device_kind
+    tflops = (flops / dt / 1e12) if flops else None
+    return frames_per_step / dt, tflops, device_kind
 
 
 def bench_torch_baseline() -> float:
@@ -197,18 +239,23 @@ def bench_torch_baseline() -> float:
 
 
 def main():
-    jax_fps = bench_jax()
+    jax_fps, achieved_tflops, device_kind = bench_jax()
     try:
         base_fps = bench_torch_baseline()
     except Exception as e:
         print(f"baseline measurement failed: {e}", file=sys.stderr)
         base_fps = None
     vs = (jax_fps / base_fps) if base_fps else None
+    peak = _peak_tflops(device_kind)
+    mfu = (achieved_tflops / peak) if (achieved_tflops and peak) else None
     print(json.dumps({
         "metric": "vae_train_mel_frames_per_sec_per_chip",
         "value": round(jax_fps, 1),
         "unit": "frames/sec",
         "vs_baseline": round(vs, 2) if vs else None,
+        "device_kind": device_kind,
+        "achieved_tflops": round(achieved_tflops, 2) if achieved_tflops else None,
+        "mfu": round(mfu, 4) if mfu else None,
     }))
 
 

@@ -132,6 +132,76 @@ class TestTrainerSharding:
         assert sh["odd"].spec == P()
 
 
+class TestFullSizeSharding:
+    """VERDICT r2 item 2: the UNSHRUNKEN flagship architecture (frames=64,
+    512-ch convs, 8192-wide flatten — the reference training.sh geometry,
+    training.sh:1-13) must compile AND run under the production TP/ZeRO
+    shardings on the 8-device mesh, and the sharded step must match the
+    single-device step.  A sharding rule that only works at reduced dims
+    would pass every tiny-config gate; this one compiles the real thing.
+    Slow cold (~minutes of CPU XLA compile); the persistent .jax_cache
+    makes repeats cheap."""
+
+    def test_full_size_sharded_step_matches_single_device(self):
+        from jax.sharding import NamedSharding
+        from dvc_tpu import config as C
+        from dvc_tpu.parallel.mesh import (
+            data_sharding, train_state_shardings)
+        from dvc_tpu.train.trainer import create_train_state, make_train_step
+
+        cfg = C.Config(train=C.TrainConfig(batch_size=8,
+                                           compute_dtype="float32"))
+        # the real geometry, asserted so a config drift can't shrink it
+        assert cfg.vae.frames == 64 and cfg.vae.enc_channels == 512
+        assert cfg.vae.frames * 2 * cfg.vae.dim_neck == 8192
+
+        mesh = make_mesh(MeshConfig(model_parallel=2))
+        assert dict(mesh.shape) == {"data": 4, "model": 2}
+
+        rng = np.random.RandomState(0)
+        x1 = jnp.asarray(rng.rand(8, 80, 64), jnp.float32)
+        x2 = jnp.asarray(rng.rand(8, 80, 64), jnp.float32)
+        key = jax.random.PRNGKey(2)
+
+        results = {}
+        for sharded in (False, True):
+            model, state, optimizer = create_train_state(
+                jax.random.PRNGKey(0), cfg)
+            step = make_train_step(model, optimizer,
+                                   compute_dtype="float32",
+                                   donate=False, jit=False)
+            if sharded:
+                state_sh = train_state_shardings(state, mesh,
+                                                 shard_opt_state=True)
+                batch_sh = data_sharding(mesh, ndim=3)
+                step_jit = jax.jit(
+                    step,
+                    in_shardings=(state_sh, batch_sh, batch_sh,
+                                  NamedSharding(mesh, P())),
+                    out_shardings=(state_sh, None))
+                with mesh:
+                    st = jax.device_put(state, state_sh)
+                    a = jax.device_put(x1, batch_sh)
+                    b = jax.device_put(x2, batch_sh)
+                    new_state, terms = step_jit(st, a, b, key)
+                # the TP rule must actually shard something over 'model'
+                specs = [s.spec for s in jax.tree_util.tree_leaves(
+                    state_sh.params)]
+                assert any("model" in str(spec) for spec in specs), \
+                    "no parameter sharded over the model axis at full size"
+            else:
+                new_state, terms = jax.jit(step)(state, x1, x2, key)
+            leaf = jax.tree_util.tree_leaves(new_state.params)[0]
+            results[sharded] = (float(terms.total),
+                                np.asarray(jax.device_get(leaf)))
+
+        loss_s, leaf_s = results[True]
+        loss_d, leaf_d = results[False]
+        assert np.isfinite(loss_s)
+        np.testing.assert_allclose(loss_s, loss_d, rtol=5e-4)
+        np.testing.assert_allclose(leaf_s, leaf_d, rtol=5e-3, atol=1e-5)
+
+
 class TestShardedCompute:
     def test_psum_over_mesh(self, mesh):
         """Data-parallel loss mean == global mean when batch is sharded."""
