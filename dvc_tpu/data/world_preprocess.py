@@ -57,8 +57,20 @@ def preprocess_world_speaker(speaker_dir: str, out_dir: str,
     from concurrent.futures import ThreadPoolExecutor
     workers = min(8, max(1, os.cpu_count() or 1))
     if workers > 1 and len(wav_fps) > 1:
-        with ThreadPoolExecutor(workers) as pool:
-            feats = list(pool.map(analyze, wav_fps))
+        # utterance-level parallelism: pin the engine's INNER pools to one
+        # worker while the outer pool is active, so cores aren't
+        # oversubscribed (results are bit-identical at any thread split —
+        # dvc_common.h parallel_for is deterministic by construction)
+        prev = os.environ.get("DVC_WORLD_THREADS")
+        os.environ["DVC_WORLD_THREADS"] = "1"
+        try:
+            with ThreadPoolExecutor(workers) as pool:
+                feats = list(pool.map(analyze, wav_fps))
+        finally:
+            if prev is None:
+                os.environ.pop("DVC_WORLD_THREADS", None)
+            else:
+                os.environ["DVC_WORLD_THREADS"] = prev
     else:
         feats = [analyze(fp) for fp in wav_fps]
 

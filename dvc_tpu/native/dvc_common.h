@@ -9,12 +9,52 @@
 #include <atomic>
 #include <cmath>
 #include <cstdlib>
+#include <mutex>
 #include <thread>
 #include <vector>
 
 namespace dvc {
 
 constexpr double kPi = 3.14159265358979323846;
+
+// Cached twiddle factors for one butterfly stage.  The values are computed
+// by the SAME complex recurrence the original in-loop code used (not by
+// per-index cos/sin), so FFT results are bit-identical to the uncached
+// implementation; hoisting them out of the butterfly removes the
+// loop-carried dependency and lets the compiler vectorize the stage.
+struct TwiddleStage {
+  std::vector<double> cr, ci;
+};
+
+inline const TwiddleStage& twiddle_stage(int len, bool inverse) {
+  // index by log2(len); power-of-two lengths only (as the FFT requires)
+  static std::atomic<const TwiddleStage*> cache[2][32] = {};
+  static std::mutex build_mu;
+  int lg = 0;
+  while ((1 << lg) < len) ++lg;
+  std::atomic<const TwiddleStage*>& slot = cache[inverse ? 1 : 0][lg];
+  const TwiddleStage* hit = slot.load(std::memory_order_acquire);
+  if (hit) return *hit;
+  std::lock_guard<std::mutex> lock(build_mu);
+  hit = slot.load(std::memory_order_acquire);
+  if (hit) return *hit;
+  auto* st = new TwiddleStage;
+  st->cr.resize(len / 2);
+  st->ci.resize(len / 2);
+  double sign = inverse ? 2.0 : -2.0;
+  double ang = sign * kPi / len;
+  double wr = std::cos(ang), wi = std::sin(ang);
+  double cr = 1.0, ci = 0.0;
+  for (int k = 0; k < len / 2; ++k) {
+    st->cr[k] = cr;
+    st->ci[k] = ci;
+    double ncr = cr * wr - ci * wi;
+    ci = cr * wi + ci * wr;
+    cr = ncr;
+  }
+  slot.store(st, std::memory_order_release);  // leaked by design: process-
+  return *st;                                 // lifetime cache, ~n entries
+}
 
 // iterative radix-2 Cooley-Tukey, complex in-place; n must be a power of two.
 inline void fft_inplace(double* re, double* im, int n, bool inverse = false) {
@@ -27,23 +67,24 @@ inline void fft_inplace(double* re, double* im, int n, bool inverse = false) {
       std::swap(im[i], im[j]);
     }
   }
-  double sign = inverse ? 2.0 : -2.0;
   for (int len = 2; len <= n; len <<= 1) {
-    double ang = sign * kPi / len;
-    double wr = std::cos(ang), wi = std::sin(ang);
+    const TwiddleStage& tw = twiddle_stage(len, inverse);
+    const double* twr = tw.cr.data();
+    const double* twi = tw.ci.data();
     for (int i = 0; i < n; i += len) {
-      double cr = 1.0, ci = 0.0;
+      double* r0 = re + i;
+      double* i0 = im + i;
+      double* r1 = re + i + len / 2;
+      double* i1 = im + i + len / 2;
       for (int k = 0; k < len / 2; ++k) {
-        double ur = re[i + k], ui = im[i + k];
-        double vr = re[i + k + len / 2] * cr - im[i + k + len / 2] * ci;
-        double vi = re[i + k + len / 2] * ci + im[i + k + len / 2] * cr;
-        re[i + k] = ur + vr;
-        im[i + k] = ui + vi;
-        re[i + k + len / 2] = ur - vr;
-        im[i + k + len / 2] = ui - vi;
-        double ncr = cr * wr - ci * wi;
-        ci = cr * wi + ci * wr;
-        cr = ncr;
+        double cr = twr[k], ci = twi[k];
+        double ur = r0[k], ui = i0[k];
+        double vr = r1[k] * cr - i1[k] * ci;
+        double vi = r1[k] * ci + i1[k] * cr;
+        r0[k] = ur + vr;
+        i0[k] = ui + vi;
+        r1[k] = ur - vr;
+        i1[k] = ui - vi;
       }
     }
   }

@@ -50,6 +50,8 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <map>
+#include <mutex>
 #include <vector>
 
 #include "dvc_common.h"  // FFT, windows, thread pool (shared with dvc_dsp)
@@ -139,11 +141,23 @@ struct Candidates {
   double& S(int i, int j) { return score[static_cast<size_t>(i) * max_c + j]; }
 };
 
+// Per-frame cache of refinement FFT pairs.  The windowed/derivative-window
+// spectra depend only on (frame center, window length) — candidates of the
+// SAME frame whose f0 rounds to the same window length share them exactly,
+// and reusing the buffers across frames removes per-candidate allocation.
+// Values are identical to a fresh computation, so refinement stays
+// bit-identical.
+struct RefineFrameCache {
+  std::vector<int> wlens;  // active entries for the current frame
+  std::vector<std::vector<double>> rm, im, rd, id;
+  void reset() { wlens.clear(); }
+};
+
 // refine one candidate by harmonic-weighted instantaneous frequency
 // (Flanagan's equation on a Blackman-windowed FFT pair).
 void refine_candidate(const std::vector<double>& y, double fs, double tpos,
                       double f0_floor, double f0_ceil, double* f0c,
-                      double* score) {
+                      double* score, RefineFrameCache* cache) {
   double f0 = *f0c;
   if (f0 < f0_floor || f0 > f0_ceil) {
     *score = 0.0;
@@ -152,25 +166,64 @@ void refine_candidate(const std::vector<double>& y, double fs, double tpos,
   int half = static_cast<int>(1.5 * fs / f0 + 0.5);
   int wlen = 2 * half + 1;
   int fft_size = next_pow2(wlen) * 2;
-  std::vector<double> re_m(fft_size, 0.0), im_m(fft_size, 0.0);
-  std::vector<double> re_d(fft_size, 0.0), im_d(fft_size, 0.0);
   long c = static_cast<long>(tpos * fs + 0.5);
-  std::vector<double> w(wlen);
-  for (int i = 0; i < wlen; ++i)
-    w[i] = blackman(static_cast<double>(i) / (wlen - 1));
-  auto sample = [&](long i) -> double {
-    return (i >= 0 && i < static_cast<long>(y.size())) ? y[i] : 0.0;
-  };
-  for (int i = 0; i < wlen; ++i) {
-    double v = sample(c - half + i);
-    re_m[i] = v * w[i];
-    // derivative window (central difference of the window)
-    double wm = (i > 0) ? w[i - 1] : 0.0;
-    double wp = (i < wlen - 1) ? w[i + 1] : 0.0;
-    re_d[i] = v * (wp - wm) * 0.5 * fs;  // d/dt in seconds
+
+  int idx = -1;
+  for (size_t q = 0; q < cache->wlens.size(); ++q)
+    if (cache->wlens[q] == wlen) {
+      idx = static_cast<int>(q);
+      break;
+    }
+  if (idx < 0) {
+    idx = static_cast<int>(cache->wlens.size());
+    cache->wlens.push_back(wlen);
+    if (static_cast<int>(cache->rm.size()) <= idx) {
+      cache->rm.emplace_back();
+      cache->im.emplace_back();
+      cache->rd.emplace_back();
+      cache->id.emplace_back();
+    }
+    cache->rm[idx].assign(fft_size, 0.0);
+    cache->im[idx].assign(fft_size, 0.0);
+    cache->rd[idx].assign(fft_size, 0.0);
+    cache->id[idx].assign(fft_size, 0.0);
+
+    // Blackman windows cached by length (values identical per computation)
+    static std::mutex win_mu;
+    static std::map<int, std::vector<double>>* win_cache =
+        new std::map<int, std::vector<double>>;
+    const double* w;
+    {
+      std::lock_guard<std::mutex> lock(win_mu);
+      auto it = win_cache->find(wlen);
+      if (it == win_cache->end()) {
+        std::vector<double> fresh(wlen);
+        for (int i = 0; i < wlen; ++i)
+          fresh[i] = blackman(static_cast<double>(i) / (wlen - 1));
+        it = win_cache->emplace(wlen, std::move(fresh)).first;
+      }
+      w = it->second.data();
+    }
+    auto sample = [&](long i) -> double {
+      return (i >= 0 && i < static_cast<long>(y.size())) ? y[i] : 0.0;
+    };
+    double* rm = cache->rm[idx].data();
+    double* rd = cache->rd[idx].data();
+    for (int i = 0; i < wlen; ++i) {
+      double v = sample(c - half + i);
+      rm[i] = v * w[i];
+      // derivative window (central difference of the window)
+      double wm = (i > 0) ? w[i - 1] : 0.0;
+      double wp = (i < wlen - 1) ? w[i + 1] : 0.0;
+      rd[i] = v * (wp - wm) * 0.5 * fs;  // d/dt in seconds
+    }
+    fft_inplace(cache->rm[idx].data(), cache->im[idx].data(), fft_size);
+    fft_inplace(cache->rd[idx].data(), cache->id[idx].data(), fft_size);
   }
-  fft_inplace(re_m.data(), im_m.data(), fft_size);
-  fft_inplace(re_d.data(), im_d.data(), fft_size);
+  const double* re_m = cache->rm[idx].data();
+  const double* im_m = cache->im[idx].data();
+  const double* re_d = cache->rd[idx].data();
+  const double* im_d = cache->id[idx].data();
 
   double freq_res = fs / fft_size;
   int n_harm = std::min(6, static_cast<int>(fs / 2.0 / f0));
@@ -179,7 +232,7 @@ void refine_candidate(const std::vector<double>& y, double fs, double tpos,
     return;
   }
   double num = 0.0, den = 0.0, dev = 0.0, wsum = 0.0;
-  std::vector<double> inst(n_harm), amp(n_harm);
+  double inst[6], amp[6];  // n_harm <= 6 by construction
   for (int h = 1; h <= n_harm; ++h) {
     int k = static_cast<int>(f0 * h / freq_res + 0.5);
     if (k <= 0 || k >= fft_size / 2) {
@@ -251,6 +304,61 @@ void zero_phase_lpf(std::vector<double>& seg, double fc) {
   std::reverse(seg.begin(), seg.end());
   run(seg);
   std::reverse(seg.begin(), seg.end());
+}
+
+// --------------------------------------------- harvest filter-bank cache --
+// The per-channel band-pass filter spectra depend only on (analysis rate,
+// FFT bucket, f0 band) — not on the audio — so across a corpus the same
+// bank is recomputed for every utterance in the same length bucket.  Cache
+// the spectra (values identical to the per-call computation, so harvest
+// output stays bit-identical).  A handful of buckets covers a corpus;
+// the cache clears itself past 4 to bound memory (~32 MB per bucket).
+struct FilterBank {
+  std::vector<int> half;                    // per-channel filter half-width
+  std::vector<std::vector<double>> fre, fim;  // per-channel spectra
+};
+
+const FilterBank& harvest_filter_bank(double afs, int fft_size,
+                                      double f0_floor, double f0_ceil,
+                                      int n_ch) {
+  struct Key {
+    double afs, f0_floor, f0_ceil;
+    int fft_size, n_ch;
+    bool operator<(const Key& o) const {
+      if (afs != o.afs) return afs < o.afs;
+      if (f0_floor != o.f0_floor) return f0_floor < o.f0_floor;
+      if (f0_ceil != o.f0_ceil) return f0_ceil < o.f0_ceil;
+      if (fft_size != o.fft_size) return fft_size < o.fft_size;
+      return n_ch < o.n_ch;
+    }
+  };
+  static std::mutex mu;
+  static std::map<Key, FilterBank>* cache = new std::map<Key, FilterBank>;
+  Key key{afs, f0_floor, f0_ceil, fft_size, n_ch};
+  std::lock_guard<std::mutex> lock(mu);
+  auto it = cache->find(key);
+  if (it != cache->end()) return it->second;
+  if (cache->size() >= 4) cache->clear();
+  FilterBank fb;
+  fb.half.assign(n_ch, 0);
+  fb.fre.resize(n_ch);
+  fb.fim.resize(n_ch);
+  for (int ch = 0; ch < n_ch; ++ch) {
+    double bf0 = f0_floor * std::pow(2.0, (ch + 1) / 24.0);
+    if (bf0 > f0_ceil * 1.1) continue;
+    int half = static_cast<int>(afs / bf0 * 2.0 + 0.5);
+    int flen = 2 * half + 1;
+    if (flen >= fft_size) continue;
+    std::vector<double> fre(fft_size, 0.0), fim(fft_size, 0.0);
+    for (int i = 0; i < flen; ++i)
+      fre[i] = nuttall(static_cast<double>(i) / (flen - 1)) *
+               std::cos(2.0 * kPi * bf0 * (i - half) / afs);
+    fft_inplace(fre.data(), fim.data(), fft_size);
+    fb.half[ch] = half;
+    fb.fre[ch] = std::move(fre);
+    fb.fim[ch] = std::move(fim);
+  }
+  return cache->emplace(key, std::move(fb)).first->second;
 }
 
 // ------------------------------------------------- D4C LoveTrain ----------
@@ -408,52 +516,99 @@ int dvc_harvest_stage(const float* x, long n, int fs, double frame_period_ms,
   // below walks channels in index order, so the result is bit-identical to
   // the serial loop at any thread count.
   std::vector<std::vector<double>> chan_cand(n_ch);
+  // Nuttall-windowed cosine band-pass spectra, cached across utterances of
+  // the same FFT bucket (values identical to an in-loop computation)
+  const FilterBank& fb = harvest_filter_bank(afs, fft_size, f0_floor,
+                                             f0_ceil, n_ch);
   parallel_for(n_ch, [&](long ch) {
+    if (fb.fre[ch].empty()) return;  // out-of-band or degenerate channel
     double bf0 = f0_floor * std::pow(2.0, (ch + 1) / 24.0);
-    if (bf0 > f0_ceil * 1.1) return;
-    // Nuttall-windowed cosine band-pass centered at bf0, 2 periods half-width
-    int half = static_cast<int>(afs / bf0 * 2.0 + 0.5);
-    int flen = 2 * half + 1;
-    if (flen >= fft_size) return;
-    std::vector<double> fre(fft_size, 0.0), fim(fft_size, 0.0);
-    for (int i = 0; i < flen; ++i)
-      fre[i] = nuttall(static_cast<double>(i) / (flen - 1)) *
-               std::cos(2.0 * kPi * bf0 * (i - half) / afs);
-    fft_inplace(fre.data(), fim.data(), fft_size);
-    // multiply spectra, inverse transform, compensate the filter delay
+    int half = fb.half[ch];
+    // multiply spectra, inverse transform, compensate the filter delay.
+    // Scratch is thread-local: ~1 MB of fresh pages per channel otherwise
+    // dominates the stage on warm caches (values are fully overwritten
+    // before use — bit-identical)
+    static thread_local std::vector<double> fre_s, fim_s, filtered_s;
+    fre_s.resize(fft_size);
+    fim_s.resize(fft_size);
+    std::vector<double>& fre = fre_s;
+    std::vector<double>& fim = fim_s;
+    const double* bre = fb.fre[ch].data();
+    const double* bim = fb.fim[ch].data();
     for (int k = 0; k < fft_size; ++k) {
-      double rr = yre[k] * fre[k] - yim[k] * fim[k];
-      double ii = yre[k] * fim[k] + yim[k] * fre[k];
-      fre[k] = rr;
-      fim[k] = ii;
+      fre[k] = yre[k] * bre[k] - yim[k] * bim[k];
+      fim[k] = yre[k] * bim[k] + yim[k] * bre[k];
     }
     fft_inplace(fre.data(), fim.data(), fft_size, /*inverse=*/true);
-    std::vector<double> filtered(y.size());
+    filtered_s.resize(y.size());
+    std::vector<double>& filtered = filtered_s;
     for (size_t i = 0; i < y.size(); ++i) {
       size_t j = i + half;
       filtered[i] = (j < static_cast<size_t>(fft_size)) ? fre[j] : 0.0;
     }
 
-    // four event trains: falling/rising zero crossings, peaks, dips
-    std::vector<double> neg(filtered);
-    std::vector<double> diff(filtered.size(), 0.0);
-    for (size_t i = 0; i + 1 < filtered.size(); ++i)
-      diff[i] = filtered[i + 1] - filtered[i];
-    std::vector<double> ndiff(diff);
-    for (double& v : neg) v = -v;
-    for (double& v : ndiff) v = -v;
-    EventTrack tr[4] = {zero_crossings(filtered, afs),
-                        zero_crossings(neg, afs), zero_crossings(diff, afs),
-                        zero_crossings(ndiff, afs)};
+    // four event trains (falling/rising zero crossings, peaks, dips) fused
+    // into one pass.  Bit-identical to running zero_crossings on the
+    // materialized neg/diff/ndiff copies: IEEE negation is exact and
+    // fl(b-a) == -fl(a-b), so (-a)/((-a)-(-b)) == a/(a-b) bit-for-bit, and
+    // the sign tests on negated values reduce to the mirrored comparisons.
+    EventTrack tr[4];
+    {
+      const size_t m = filtered.size();
+      std::vector<double> locs[4];
+      auto dif_at = [&](size_t i) -> double {
+        // zero_crossings(diff) read diff[m-1] == 0.0 (never written)
+        return (i + 1 < m) ? filtered[i + 1] - filtered[i] : 0.0;
+      };
+      double da = dif_at(0);
+      for (size_t i = 0; i + 1 < m; ++i) {
+        double a = filtered[i], b = filtered[i + 1];
+        if (a > 0.0 && b <= 0.0)
+          locs[0].push_back((i + a / (a - b)) / afs);   // falling
+        if (a < 0.0 && -b <= 0.0)
+          locs[1].push_back((i + a / (a - b)) / afs);   // rising (== neg)
+        double db = dif_at(i + 1);
+        if (da > 0.0 && db <= 0.0)
+          locs[2].push_back((i + da / (da - db)) / afs);  // peaks
+        if (da < 0.0 && -db <= 0.0)
+          locs[3].push_back((i + da / (da - db)) / afs);  // dips (== ndiff)
+        da = db;
+      }
+      for (int e = 0; e < 4; ++e) {
+        for (size_t k = 0; k + 1 < locs[e].size(); ++k) {
+          double iv = locs[e][k + 1] - locs[e][k];
+          if (iv <= 0) continue;
+          tr[e].t.push_back(0.5 * (locs[e][k] + locs[e][k + 1]));
+          tr[e].f0.push_back(1.0 / iv);
+        }
+      }
+    }
 
     std::vector<double>& col = chan_cand[ch];
     col.assign(n1, 0.0);
+    // marching interpolation cursors: frame times are monotone, so the
+    // lower_bound of interp_track is reached by advancing a per-train
+    // index (same segment, same arithmetic — bit-identical)
+    size_t cur[4] = {1, 1, 1, 1};
+    auto interp_march = [&](int e, double t) -> double {
+      const EventTrack& trk = tr[e];
+      if (trk.t.size() < 2 || t < trk.t.front() || t > trk.t.back())
+        return 0.0;
+      size_t& j = cur[e];
+      if (j >= trk.t.size()) j = trk.t.size() - 1;
+      // lower_bound semantics: first j with trk.t[j] >= t, clamped to >= 1
+      while (j > 1 && trk.t[j - 1] >= t) --j;
+      while (j < trk.t.size() - 1 && trk.t[j] < t) ++j;
+      double t0 = trk.t[j - 1], t1 = trk.t[j];
+      double a = (t1 > t0) ? (t - t0) / (t1 - t0) : 0.0;
+      return trk.f0[j - 1] * (1.0 - a) + trk.f0[j] * a;
+    };
     for (int i = 0; i < n1; ++i) {
       double t = i * cand_period;
       double v[4], s = 0.0;
       bool ok = true;
       for (int e = 0; e < 4; ++e) {
-        v[e] = interp_track(tr[e], t);
+        v[e] = interp_march(e, t);
         if (v[e] <= 0.0) {
           ok = false;
           break;
@@ -495,10 +650,14 @@ int dvc_harvest_stage(const float* x, long n, int fs, double frame_period_ms,
 
   // --- refinement + dedup (frames are independent -> thread pool) ----------
   parallel_for(n1, [&](long i) {
+    // FFT-pair cache: shared between same-wlen candidates of this frame,
+    // buffers reused across frames handled by this worker thread
+    static thread_local RefineFrameCache rcache;
+    rcache.reset();
     double t = i * cand_period;
     for (int j = 0; j < n_cand[i]; ++j) {
       double f0c = cand.F(i, j), sc = 0.0;
-      refine_candidate(y, afs, t, f0_floor, f0_ceil, &f0c, &sc);
+      refine_candidate(y, afs, t, f0_floor, f0_ceil, &f0c, &sc, &rcache);
       cand.F(i, j) = (sc > 0.0) ? f0c : 0.0;
       cand.S(i, j) = sc;
     }
