@@ -323,9 +323,24 @@ def cmd_train_speaker(args) -> int:
         speakers_per_batch=args.speakers_per_batch,
         utterances_per_speaker=args.utterances_per_speaker,
         learning_rate=args.lr)
-    sampler = SpeakerVerificationSampler(
-        args.clean_data_root, cfg.speakers_per_batch,
-        cfg.utterances_per_speaker, cfg.partials_n_frames, seed=args.seed)
+    sampler = None
+    if not args.no_resident_pool:
+        # device-resident utterance pool: uploads ~5 KB of crop indices per
+        # step instead of the 12.9 MB batch (decisive over slow links)
+        from dvc_tpu.data.speaker_dataset import DeviceResidentSampler
+        try:
+            sampler = DeviceResidentSampler(
+                args.clean_data_root, cfg.speakers_per_batch,
+                cfg.utterances_per_speaker, cfg.partials_n_frames,
+                seed=args.seed)
+            print(f"device-resident pool: {sampler.pool.shape[0]} utterances "
+                  f"({sampler.pool.nbytes / 2**20:.0f} MB on device)")
+        except MemoryError as e:
+            print(f"resident pool disabled ({e}); streaming from host")
+    if sampler is None:
+        sampler = SpeakerVerificationSampler(
+            args.clean_data_root, cfg.speakers_per_batch,
+            cfg.utterances_per_speaker, cfg.partials_n_frames, seed=args.seed)
     trainer = SpeakerEncoderTrainer(cfg, run_id=args.run_id,
                                     models_dir=args.models_dir)
     if not args.no_resume and trainer.resume():
@@ -644,6 +659,9 @@ def main(argv=None) -> int:
     p.add_argument("--backup_every", type=int, default=3000)
     p.add_argument("--umap_every", type=int, default=100)
     p.add_argument("--no_resume", action="store_true")
+    p.add_argument("--no_resident_pool", action="store_true",
+                   help="stream batches from host instead of the "
+                        "device-resident utterance pool")
     p.set_defaults(fn=cmd_train_speaker)
 
     p = sub.add_parser("train-fs")

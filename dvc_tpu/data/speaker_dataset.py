@@ -139,3 +139,107 @@ class SpeakerVerificationSampler:
             spk.random_partial(self.u, self.n_frames, self.rng)
             for spk in speakers])
         return batch  # (S, U, n_frames, n_mels)
+
+
+class DeviceResidentSampler:
+    """GE2E batch stream with the utterance pool RESIDENT ON DEVICE
+    (VERDICT r2 item 7).
+
+    The host sampler re-uploads every batch — 64x10x63x80 float32 =
+    12.9 MB/step, which over a slow host<->device link (0.8 s/step on this
+    environment's tunnel vs the 34 ms device step) dominates the loop.
+    Here all utterances are padded/truncated into one (N, cap, n_mels)
+    device tensor once; each step the host draws (utterance index, crop
+    start) pairs with the SAME selection semantics as
+    SpeakerVerificationSampler (per-speaker EpochPermutationSampler,
+    uniform crop starts) and uploads only those int32 pairs (~5 KB); the
+    crops are gathered on device by a jitted vmapped dynamic_slice.
+
+    Utterances longer than `max_resident_frames` are truncated for
+    residency (crop starts then come from the retained prefix — a bias
+    documented here and bounded by the cap; at the default 1000 frames
+    that is 12.8 s of audio).  Raises if the pool exceeds
+    `memory_budget_bytes` — callers fall back to the host sampler.
+    """
+
+    def __init__(self, dataset_root: str, speakers_per_batch: int = 64,
+                 utterances_per_speaker: int = 10, n_frames: int = 63,
+                 seed: int = 0, min_utterances: int = 1,
+                 max_resident_frames: int = 1000,
+                 memory_budget_bytes: int = 4 << 30, device=None):
+        import jax
+        import jax.numpy as jnp
+
+        host = SpeakerVerificationSampler(
+            dataset_root, speakers_per_batch, utterances_per_speaker,
+            n_frames, seed=seed, min_utterances=min_utterances)
+        self.rng = host.rng
+        self.speakers = host.speakers
+        self.cycler = host.cycler
+        self.s, self.u, self.n_frames = host.s, host.u, host.n_frames
+
+        fps, lengths = [], []
+        self._fp_index: dict[str, int] = {}
+        for spk in self.speakers:
+            for fp in spk.utterance_fps:
+                self._fp_index[fp] = len(fps)
+                fps.append(fp)
+                lengths.append(0)  # filled below
+        probe = np.load(fps[0])
+        n_mels = probe.shape[0]
+        cap = max_resident_frames
+        need = len(fps) * cap * n_mels * 4
+        if need > memory_budget_bytes:
+            raise MemoryError(
+                f"resident pool needs {need / 2**30:.1f} GiB "
+                f"(> budget {memory_budget_bytes / 2**30:.1f} GiB); "
+                f"use SpeakerVerificationSampler")
+        pool = np.zeros((len(fps), cap, n_mels), np.float32)
+        for i, fp in enumerate(fps):
+            mel = np.load(fp).T.astype(np.float32)  # (T, n_mels)
+            t = min(len(mel), cap)
+            pool[i, :t] = mel[:t]
+            lengths[i] = t
+        self._lengths = np.asarray(lengths)
+        self.pool = jax.device_put(jnp.asarray(pool), device)
+        self.n_mels = n_mels
+
+        f = self.n_frames
+
+        def gather(pool, utt_idx, starts):
+            def one(i, s):
+                return jax.lax.dynamic_slice(pool, (i, s, 0),
+                                             (1, f, n_mels))[0]
+            crops = jax.vmap(one)(utt_idx, starts)
+            return crops.reshape(utt_idx.shape[0] // self.u, self.u, f,
+                                 n_mels)
+
+        self._gather = jax.jit(gather)
+
+    def _draw_indices(self) -> tuple[np.ndarray, np.ndarray]:
+        s_count = min(self.s, len(self.speakers))
+        speakers = self.cycler.sample(s_count)
+        idx = np.empty(s_count * self.u, np.int32)
+        starts = np.empty(s_count * self.u, np.int32)
+        k = 0
+        for spk in speakers:
+            for fp in spk.cycler.sample(self.u):
+                i = self._fp_index[fp]
+                t = self._lengths[i]
+                if t <= self.n_frames:
+                    start = 0  # short utterance: zero-padded in the pool
+                else:
+                    start = int(self.rng.integers(0, t - self.n_frames))
+                idx[k] = i
+                starts[k] = start
+                k += 1
+        return idx, starts
+
+    def next_batch(self):
+        import jax.numpy as jnp
+        idx, starts = self._draw_indices()
+        return self._gather(self.pool, jnp.asarray(idx), jnp.asarray(starts))
+
+    def __iter__(self):
+        while True:
+            yield self.next_batch()

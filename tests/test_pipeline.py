@@ -63,6 +63,66 @@ class TestConvertMel:
         assert os.path.isdir(tmp_path / "gen" / "spkA_to_spkB")
 
 
+class TestDeviceResidentSampler:
+    """The on-device utterance pool must be a drop-in for the host sampler:
+    same rng consumption order, same selection semantics, bit-equal batches."""
+
+    def _make_corpus(self, tmp_path, rng, n_speakers=5, n_utts=3,
+                     lengths=(30, 12, 55)):
+        for s in range(n_speakers):
+            d = tmp_path / f"spk{s}"
+            d.mkdir()
+            for u in range(n_utts):
+                t = lengths[u % len(lengths)]
+                np.save(d / f"u{u}.npy",
+                        rng.rand(80, t).astype(np.float32))
+
+    def test_matches_host_sampler_bitwise(self, tmp_path):
+        from dvc_tpu.data.speaker_dataset import (
+            DeviceResidentSampler, SpeakerVerificationSampler)
+
+        rng = np.random.RandomState(7)
+        # mixed lengths: 12 < n_frames exercises the zero-pad path,
+        # 30/55 > n_frames exercise random crop starts
+        self._make_corpus(tmp_path, rng)
+        host = SpeakerVerificationSampler(str(tmp_path), 4, 2, 20, seed=3)
+        dev = DeviceResidentSampler(str(tmp_path), 4, 2, 20, seed=3)
+        for _ in range(6):
+            a = host.next_batch()
+            b = np.asarray(dev.next_batch())
+            assert a.shape == b.shape == (4, 2, 20, 80)
+            np.testing.assert_array_equal(a, b)
+
+    def test_memory_budget_refusal(self, tmp_path):
+        from dvc_tpu.data.speaker_dataset import DeviceResidentSampler
+
+        rng = np.random.RandomState(0)
+        self._make_corpus(tmp_path, rng, n_speakers=2, n_utts=2)
+        with pytest.raises(MemoryError):
+            DeviceResidentSampler(str(tmp_path), 2, 2, 20, seed=0,
+                                  memory_budget_bytes=1024)
+
+    def test_long_utterance_truncation(self, tmp_path):
+        """Utterances beyond the residency cap crop from the retained
+        prefix; batches stay well-formed and rows come from the prefix."""
+        from dvc_tpu.data.speaker_dataset import DeviceResidentSampler
+
+        rng = np.random.RandomState(1)
+        for s in range(2):
+            d = tmp_path / f"spk{s}"
+            d.mkdir()
+            for u in range(2):
+                np.save(d / f"u{u}.npy", rng.rand(80, 90).astype(np.float32))
+        dev = DeviceResidentSampler(str(tmp_path), 2, 2, 16, seed=0,
+                                    max_resident_frames=40)
+        batch = np.asarray(dev.next_batch())
+        assert batch.shape == (2, 2, 16, 80)
+        assert np.isfinite(batch).all()
+        # every crop start must fall inside the retained 40-frame prefix
+        idx, starts = dev._draw_indices()
+        assert (starts <= 40 - 16).all()
+
+
 class TestSpeakerTrainerEndToEnd:
     def test_ge2e_loss_decreases(self, tmp_path):
         from dvc_tpu.config import SpeakerEncoderConfig
