@@ -58,6 +58,37 @@ with per-out-channel scales, trajectory deviation < 0.01 — but measured
 SLOWER than bf16 at batch 16 (1521 vs 2187 samples/s/utt under host
 contention): the per-matmul int8->bf16 cast costs more than the saved DMA
 at this batch.  Revisit if the loop becomes DMA-bound (larger batch).
+
+SINGLE-STREAM LATENCY RECORD (round 3; v5e, b=1, device-side timing over a
+192-frame utterance — the short-utterance "76k" headline includes ~29 ms
+of this environment's per-call tunnel dispatch+fetch):
+  measured floor: 11.7 us/sample = 85.5k samples/s = 5.3x realtime.
+  decomposition (layer-count + channel-width sweeps):
+    per layer 407 ns = ~271 ns VMEM->MXU weight reads (2.05 MB/layer at a
+    measured ~7.5 TB/s effective) + ~136 ns issue/fixed;
+    per sample +2.14 us tail (final1/final2 + MoL sampling + grid step).
+  bf16 speed of light: 49.1 MB of weights must cross VMEM->MXU per sample
+  = 6.5 us = 9.6x realtime at ZERO overhead, so >10x realtime single
+  stream is INFEASIBLE for this model in bf16 on one chip.  Experiments,
+  all measured on-chip and all negative:
+    * samples_per_step 2/4/8 grid unroll: +-2%, worse at 8 (grid
+      bookkeeping is not a cost; the knob stays);
+    * fused input-side matmul ([x_2d|x_d|x_t|cond] @ w_cat via aligned
+      xcat scratch writes): 10% SLOWER — the scratch writes serialize
+      against the big dot while separate dots pipeline from the taps;
+    * fused output-side gated @ [w_skip|w_out]: 4% slower (same effect);
+    * single-PRNG-call MoL tail: within noise (knob stays);
+    * int8 arithmetic: saves ~135 ns/layer of reads but adds per-layer
+      activation quantization on the serial path (~100 ns) + quality risk
+      — net ~35 ns/layer best case; not taken (see streamed int8 above).
+  Multi-chip: a tensor-parallel split needs >=1 psum (2 ICI hops) per
+  layer ON the serial path — at ~1 us/hop that is +48 us vs the 9.8 us of
+  layer compute it halves; a layer-pipeline split leaves the serial chain
+  length unchanged.  Both decisively negative for latency (they help
+  aggregate/VMEM only).  Latency-critical serving should use the
+  non-autoregressive iSTFT vocoder family (models/istft_vocoder.py,
+  87x realtime single stream measured) — the AR WaveNet path exists for
+  reference parity and maximum quality.
 """
 
 from __future__ import annotations
@@ -213,16 +244,29 @@ def _uniform_from_bits(bits):
     return jnp.clip(f, 1e-5, 1.0 - 1e-5)
 
 
-def _mol_sample(y_hat, batch, nr_mix, log_scale_min, deterministic):
+def _mol_sample(y_hat, batch, nr_mix, log_scale_min, deterministic,
+                single_draw: bool = False):
     """In-kernel MoL sampling (B, 3K) -> (B,): gumbel-max mixture selection +
-    logistic inverse CDF; deterministic mode returns the argmax mixture mean."""
+    logistic inverse CDF; deterministic mode returns the argmax mixture mean.
+
+    single_draw=True takes all randomness from ONE prng_random_bits call
+    (the per-call issue cost is on the serial per-sample path); the RNG
+    stream differs from the two-call layout but the distribution is
+    identical."""
     logit = y_hat[:, :nr_mix]
     if deterministic:
         gumb = jnp.zeros_like(logit)
+        u2 = None
+    elif single_draw:
+        u = _uniform_from_bits(pltpu.bitcast(
+            pltpu.prng_random_bits((batch, 2 * nr_mix)), jnp.int32))
+        gumb = -jnp.log(-jnp.log(u[:, :nr_mix]))
+        u2 = u[:, nr_mix]
     else:
         u1 = _uniform_from_bits(pltpu.bitcast(
             pltpu.prng_random_bits((batch, nr_mix)), jnp.int32))
         gumb = -jnp.log(-jnp.log(u1))
+        u2 = None
     sel_idx = jnp.argmax(logit + gumb, axis=-1)
     onehot = (jax.lax.broadcasted_iota(jnp.int32, (batch, nr_mix), 1)
               == sel_idx[:, None]).astype(jnp.float32)
@@ -232,20 +276,28 @@ def _mol_sample(y_hat, batch, nr_mix, log_scale_min, deterministic):
     if deterministic:
         x = mean
     else:
-        u2 = _uniform_from_bits(pltpu.bitcast(
-            pltpu.prng_random_bits((batch, nr_mix)), jnp.int32))[:, 0]
+        if u2 is None:
+            u2 = _uniform_from_bits(pltpu.bitcast(
+                pltpu.prng_random_bits((batch, nr_mix)), jnp.int32))[:, 0]
         x = mean + jnp.exp(log_s) * (jnp.log(u2) - jnp.log1p(-u2))
     return jnp.clip(x, -1.0, 1.0)
 
 
 def _make_kernel_resident(cfg: VocoderConfig, batch: int,
-                          deterministic: bool = False):
+                          deterministic: bool = False, sb: int = 1,
+                          single_draw: bool = False):
     """v3 kernel: grid (T,) with ALL weights RESIDENT in VMEM and the layer
     loop statically unrolled (static weight indexing, no per-layer grid
     bookkeeping, no weight DMA in the loop).  Microbenchmarks on v5e showed
     the streamed (T, L) structure pays ~4 us/layer of block plumbing while
     the whole resident body runs in ~1.6 us/layer; the full model's weights
-    (49 MB bf16) plus the ring buffers fit VMEM up to batch ~64."""
+    (49 MB bf16) plus the ring buffers fit VMEM up to batch ~64.
+
+    sb = samples per grid step: the sb>1 body generates sb consecutive
+    samples serially inside ONE grid iteration, amortizing Mosaic's
+    per-iteration bookkeeping and the cond/out block DMAs over sb samples
+    (the autoregressive dependence is unchanged — sample j+1 reads the
+    x_prev produced by sample j within the same body)."""
     L = cfg.layers
     R = cfg.residual_channels
     G = cfg.gate_channels
@@ -259,72 +311,75 @@ def _make_kernel_resident(cfg: VocoderConfig, batch: int,
     offs_static = np.concatenate([[0], np.cumsum([2 * d for d in dil_static])[:-1]])
 
     def kernel(seed_ref,                                    # scalar prefetch
-               cond_ref,                                    # (1, B, C) idx t
+               cond_ref,                                    # (sb, B, C) idx t
                w_dil_ref, w_out_ref, w_c_ref, w_skip_ref,   # resident (L,...)
                b_dil_ref, b_skip_ref, b_out_ref,            # resident biases
                w_first_ref, b_first_ref, w_f1_ref, b_f1_ref, w_f2_ref, b_f2_ref,
                out_ref, bufs, x_prev):                      # out + scratch
-        t = pl.program_id(0)
+        tb = pl.program_id(0)
 
-        @pl.when(t == 0)
+        @pl.when(tb == 0)
         def _init():
             if not deterministic:
                 pltpu.prng_seed(seed_ref[0])
             bufs[...] = jnp.zeros_like(bufs)
             x_prev[...] = jnp.zeros_like(x_prev)
 
-        x_col = x_prev[:, :1]
-        h = x_col * w_first_ref[0][None, :] + b_first_ref[0][None, :]
-        cond = cond_ref[0]
-        skip = None
         cd = w_dil_ref.dtype
+        for j in range(sb):
+            t = tb * sb + j                            # absolute sample index
+            x_col = x_prev[:, :1]
+            h = x_col * w_first_ref[0][None, :] + b_first_ref[0][None, :]
+            cond = cond_ref[j]
+            skip = None
 
-        for ll in range(L):
-            d = dil_static[ll]
-            off = int(offs_static[ll])
-            two_d = 2 * d
-            wp = jax.lax.rem(t, two_d)                 # dynamic within buffer
-            tap_d = off + jax.lax.rem(wp + d, two_d)
-            tap_2d = off + wp
-            x_tm2d = bufs[pl.ds(tap_2d, 1)][0].astype(jnp.float32)
-            x_tmd = bufs[pl.ds(tap_d, 1)][0].astype(jnp.float32)
+            for ll in range(L):
+                d = dil_static[ll]
+                off = int(offs_static[ll])
+                two_d = 2 * d
+                wp = jax.lax.rem(t, two_d)             # dynamic within buffer
+                tap_d = off + jax.lax.rem(wp + d, two_d)
+                tap_2d = off + wp
+                x_tm2d = bufs[pl.ds(tap_2d, 1)][0].astype(jnp.float32)
+                x_tmd = bufs[pl.ds(tap_d, 1)][0].astype(jnp.float32)
 
-            conv = (jnp.dot(x_tm2d.astype(cd), w_dil_ref[ll, 0],
-                            preferred_element_type=jnp.float32)
-                    + jnp.dot(x_tmd.astype(cd), w_dil_ref[ll, 1],
-                              preferred_element_type=jnp.float32)
-                    + jnp.dot(h.astype(cd), w_dil_ref[ll, 2],
-                              preferred_element_type=jnp.float32)
-                    + jnp.dot(cond.astype(cd), w_c_ref[ll],
-                              preferred_element_type=jnp.float32)
-                    + b_dil_ref[ll, 0])
-            a = conv[:, :G2]
-            g = conv[:, G2:]
-            gated = jnp.tanh(a) * jax.nn.sigmoid(g)
-
-            s = (jnp.dot(gated.astype(cd), w_skip_ref[ll],
-                         preferred_element_type=jnp.float32)
-                 + b_skip_ref[ll, 0])
-            res = (jnp.dot(gated.astype(cd), w_out_ref[ll],
-                           preferred_element_type=jnp.float32)
-                   + b_out_ref[ll, 0])
-
-            bufs[pl.ds(tap_2d, 1)] = h.astype(bufs.dtype)[None]
-            h = (res + h) * SQRT_HALF
-            if skip is None:
-                skip = s
-            else:
-                skip = (skip + s) * (SQRT_HALF if legacy else 1.0)
-
-        o = jax.nn.relu(skip)
-        o = jax.nn.relu(jnp.dot(o.astype(w_f1_ref.dtype), w_f1_ref[...],
+                conv = (jnp.dot(x_tm2d.astype(cd), w_dil_ref[ll, 0],
                                 preferred_element_type=jnp.float32)
-                        + b_f1_ref[0][None, :])
-        y_hat = jnp.dot(o, w_f2_ref[...],
-                        preferred_element_type=jnp.float32) + b_f2_ref[0][None, :]
-        x = _mol_sample(y_hat, batch, nr_mix, log_scale_min, deterministic)
-        x_prev[...] = jnp.broadcast_to(x[:, None], x_prev.shape)
-        out_ref[...] = x[None, None, :]
+                        + jnp.dot(x_tmd.astype(cd), w_dil_ref[ll, 1],
+                                  preferred_element_type=jnp.float32)
+                        + jnp.dot(h.astype(cd), w_dil_ref[ll, 2],
+                                  preferred_element_type=jnp.float32)
+                        + jnp.dot(cond.astype(cd), w_c_ref[ll],
+                                  preferred_element_type=jnp.float32)
+                        + b_dil_ref[ll, 0])
+                a = conv[:, :G2]
+                g = conv[:, G2:]
+                gated = jnp.tanh(a) * jax.nn.sigmoid(g)
+
+                s = (jnp.dot(gated.astype(cd), w_skip_ref[ll],
+                             preferred_element_type=jnp.float32)
+                     + b_skip_ref[ll, 0])
+                res = (jnp.dot(gated.astype(cd), w_out_ref[ll],
+                               preferred_element_type=jnp.float32)
+                       + b_out_ref[ll, 0])
+
+                bufs[pl.ds(tap_2d, 1)] = h.astype(bufs.dtype)[None]
+                h = (res + h) * SQRT_HALF
+                if skip is None:
+                    skip = s
+                else:
+                    skip = (skip + s) * (SQRT_HALF if legacy else 1.0)
+
+            o = jax.nn.relu(skip)
+            o = jax.nn.relu(jnp.dot(o.astype(w_f1_ref.dtype), w_f1_ref[...],
+                                    preferred_element_type=jnp.float32)
+                            + b_f1_ref[0][None, :])
+            y_hat = jnp.dot(o, w_f2_ref[...],
+                            preferred_element_type=jnp.float32) + b_f2_ref[0][None, :]
+            x = _mol_sample(y_hat, batch, nr_mix, log_scale_min, deterministic,
+                            single_draw=single_draw)
+            x_prev[...] = jnp.broadcast_to(x[:, None], x_prev.shape)
+            out_ref[j] = x[None, :]
 
     return kernel
 
@@ -332,23 +387,25 @@ def _make_kernel_resident(cfg: VocoderConfig, batch: int,
 @functools.lru_cache(maxsize=16)
 def _resident_call(cfg: VocoderConfig, b: int, t_total: int, C: int,
                    buf_total: int, wdt_name: str, deterministic: bool,
-                   interpret: bool):
+                   interpret: bool, sb: int = 1, single_draw: bool = False):
     """Build (once per shape signature) the jitted resident-kernel callable.
 
     Rebuilding pl.pallas_call per invocation re-traces + re-lowers the
     24-layer unrolled kernel on the host every call (~3 s of fixed overhead
     per utterance on a 1-core host, measured) — caching the jitted function
     removes it."""
-    kernel = _make_kernel_resident(cfg, b, deterministic=deterministic)
+    assert t_total % sb == 0, (t_total, sb)
+    kernel = _make_kernel_resident(cfg, b, deterministic=deterministic, sb=sb,
+                                   single_draw=single_draw)
     wdt = jnp.dtype(wdt_name)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # seed
-        grid=(t_total,),
+        grid=(t_total // sb,),
         in_specs=[
-            pl.BlockSpec((1, b, C), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((sb, b, C), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),       # cond (T, B, C)
         ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 13,
-        out_specs=pl.BlockSpec((1, 1, b), lambda t, *_: (t, 0, 0),
+        out_specs=pl.BlockSpec((sb, 1, b), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((buf_total, b, cfg.residual_channels), wdt),
@@ -374,18 +431,34 @@ def _resident_call(cfg: VocoderConfig, b: int, t_total: int, C: int,
 
 def pallas_generate_resident(packed: dict, cond: jax.Array, seed: int,
                              cfg: VocoderConfig, interpret: bool = False,
-                             deterministic: bool = False) -> jax.Array:
-    """Resident-weights generation path; cond is (B, T, C) upsampled."""
+                             deterministic: bool = False,
+                             samples_per_step: int = 1,
+                             single_draw: bool = False) -> jax.Array:
+    """Resident-weights generation path; cond is (B, T, C) upsampled.
+
+    samples_per_step > 1 unrolls that many consecutive samples into one
+    grid iteration (see _make_kernel_resident); T is padded up to a
+    multiple and the output trimmed back.  single_draw takes each sample's
+    MoL randomness from one PRNG call instead of two.  Both measured
+    within noise of the default at b=1 on v5e (see module docstring) —
+    they stay as granularity knobs, not defaults."""
     b, t_total, C = cond.shape
-    run = _resident_call(cfg, b, t_total, C, packed["buf_total"],
-                         str(packed["w_dil"].dtype), deterministic, interpret)
-    return run(jnp.asarray([seed], jnp.int32),
-               jnp.swapaxes(cond, 0, 1).astype(jnp.float32),
-               packed["w_dil"], packed["w_out"], packed["w_c"],
-               packed["w_skip"], packed["b_dil"], packed["b_skip"],
-               packed["b_out"], packed["w_first"], packed["b_first"],
-               packed["w_f1"], packed["b_f1"], packed["w_f2"],
-               packed["b_f2"])
+    sb = samples_per_step
+    t_pad = (-t_total) % sb
+    if t_pad:
+        cond = jnp.concatenate(
+            [cond, jnp.zeros((b, t_pad, C), cond.dtype)], axis=1)
+    run = _resident_call(cfg, b, t_total + t_pad, C, packed["buf_total"],
+                         str(packed["w_dil"].dtype), deterministic, interpret,
+                         sb, single_draw)
+    out = run(jnp.asarray([seed], jnp.int32),
+              jnp.swapaxes(cond, 0, 1).astype(jnp.float32),
+              packed["w_dil"], packed["w_out"], packed["w_c"],
+              packed["w_skip"], packed["b_dil"], packed["b_skip"],
+              packed["b_out"], packed["w_first"], packed["b_first"],
+              packed["w_f1"], packed["b_f1"], packed["w_f2"],
+              packed["b_f2"])
+    return out[:, :t_total] if t_pad else out
 
 
 def _make_kernel(cfg: VocoderConfig, t_total: int, batch: int,

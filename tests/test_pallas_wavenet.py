@@ -82,6 +82,52 @@ class TestPallasWaveNet:
                               quantize_int8=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0.05)
 
+    def test_samples_per_step_bit_equal(self):
+        """The sb>1 grid unroll must reproduce the sb=1 trajectory exactly
+        (same ops per sample, only the grid blocking changes), including
+        the non-dividing case that pads T and trims the output."""
+        from dvc_tpu.kernels.wavenet_step import (_upsample_jit,
+                                                  pack_wavenet_params,
+                                                  pallas_generate_resident)
+
+        cfg = TINY
+        variables = _deterministic_variables(cfg, jax.random.PRNGKey(0))
+        packed = pack_wavenet_params(variables["params"], cfg, jnp.float32)
+        c = jnp.asarray(np.random.RandomState(0).rand(2, 5, cfg.cin_channels),
+                        jnp.float32)
+        cond = _upsample_jit(cfg)(variables, c)
+        base = np.asarray(pallas_generate_resident(
+            packed, cond, 1, cfg, interpret=True, deterministic=True))
+        for sb in (4, 3):  # 3 does not divide T=20: exercises pad+trim
+            got = np.asarray(pallas_generate_resident(
+                packed, cond, 1, cfg, interpret=True, deterministic=True,
+                samples_per_step=sb))
+            np.testing.assert_array_equal(base, got)
+
+    def test_single_draw_plumbs(self):
+        """single_draw only changes how MoL randomness is drawn; under
+        deterministic sampling the trajectory is identical, which pins the
+        knob's plumbing.  (The stochastic path uses the TPU hardware PRNG,
+        which has no CPU-interpret lowering — it was exercised on-chip in
+        round 3 with finite, in-range output; see module docstring.)"""
+        from dvc_tpu.kernels.wavenet_step import (_upsample_jit,
+                                                  pack_wavenet_params,
+                                                  pallas_generate_resident)
+
+        cfg = TINY
+        variables = _deterministic_variables(cfg, jax.random.PRNGKey(0))
+        packed = pack_wavenet_params(variables["params"], cfg, jnp.float32)
+        c = jnp.asarray(np.random.RandomState(2).rand(1, 4, cfg.cin_channels),
+                        jnp.float32)
+        cond = _upsample_jit(cfg)(variables, c)
+        base = np.asarray(pallas_generate_resident(
+            packed, cond, 9, cfg, interpret=True, deterministic=True))
+        got = np.asarray(pallas_generate_resident(
+            packed, cond, 9, cfg, interpret=True, deterministic=True,
+            single_draw=True))
+        np.testing.assert_array_equal(base, got)
+        assert np.isfinite(base).all() and base.std() > 1e-5
+
     def test_bf16_weights_close(self):
         cfg = TINY
         variables = _deterministic_variables(cfg, jax.random.PRNGKey(1))
