@@ -303,7 +303,8 @@ def cmd_serve(args) -> int:
 def _run_world(args) -> None:
     from dvc_tpu.data.world_preprocess import preprocess_world_dataset
     for s in preprocess_world_dataset(args.dataset_fp, args.out_dir,
-                                      num_mcep=args.num_mcep):
+                                      num_mcep=args.num_mcep,
+                                      f0_mode=getattr(args, "f0", "native")):
         if s["n_files"] == 0:
             print(f"{s['speaker']}: no wavs, skipped")
             continue
@@ -619,6 +620,9 @@ def main(argv=None) -> int:
     p.add_argument("dataset_fp")
     p.add_argument("-o", "--out_dir", required=True)
     p.add_argument("--num_mcep", type=int, default=36)
+    p.add_argument("--f0", choices=("native", "device"), default="native",
+                   help="F0/envelope engine: native C++ per utterance, or "
+                        "batched on-accelerator Harvest (corpus scale)")
     p.set_defaults(fn=lambda a: (_run_world(a), 0)[1])
 
     p = sub.add_parser("train")

@@ -26,8 +26,16 @@ from dvc_tpu.utils.wavio import read_wav
 def preprocess_world_speaker(speaker_dir: str, out_dir: str,
                              sample_rate: int = 16_000, num_mcep: int = 36,
                              frame_period: float = 5.0,
-                             save_sp_ap: bool = False) -> dict:
-    """One speaker directory of wavs -> npz features + stats files."""
+                             save_sp_ap: bool = False,
+                             f0_mode: str = "native") -> dict:
+    """One speaker directory of wavs -> npz features + stats files.
+
+    f0_mode selects the analysis engine: "native" (default) runs the C++
+    Harvest/D4C per utterance — the algorithm-faithful pyworld replacement;
+    "device" runs the batched accelerator path (ops/harvest.py Harvest +
+    vmapped CheapTrick via world_decompose_batch) — the corpus-scale option,
+    tolerance-gated against the native engine by tests/test_harvest_tpu.py.
+    """
     spk = os.path.basename(os.path.normpath(speaker_dir))
     wav_fps = sorted(glob.glob(os.path.join(speaker_dir, "*.wav")))
     if not wav_fps:
@@ -39,16 +47,29 @@ def preprocess_world_speaker(speaker_dir: str, out_dir: str,
     spk_out = os.path.join(out_dir, spk)
     os.makedirs(spk_out, exist_ok=True)
 
-    def analyze(fp):
+    def load(fp):
         wav, sr = read_wav(fp)
         if sr != sample_rate:
             from dvc_tpu.ops.audio import resample_poly
             import jax.numpy as jnp
             wav = np.asarray(resample_poly(jnp.asarray(wav), sr, sample_rate))
-        wav = wav / max(1e-8, np.abs(wav).max())  # librosa.util.normalize
-        f0, _, sp, ap, mc = world_encode_data(wav, sample_rate, frame_period,
-                                              num_mcep)
+        return wav / max(1e-8, np.abs(wav).max())  # librosa.util.normalize
+
+    def analyze(fp):
+        f0, _, sp, ap, mc = world_encode_data(load(fp), sample_rate,
+                                              frame_period, num_mcep)
         return (fp, f0, sp, ap, mc)
+
+    if f0_mode == "device":
+        from dvc_tpu.ops.world import world_decompose_batch
+        wavs = [load(fp) for fp in wav_fps]
+        decomposed = world_decompose_batch(
+            wavs, sample_rate, frame_period, num_mcep,
+            keep_sp_ap=save_sp_ap)
+        feats = [(fp, f0, sp, ap, mc)
+                 for fp, (f0, _, sp, ap, mc) in zip(wav_fps, decomposed)]
+        return _write_speaker_outputs(spk, spk_out, out_dir, feats,
+                                      save_sp_ap)
 
     # thread pool over files: the native Harvest/D4C stages release the GIL
     # inside the C++ engine, and the jitted CheapTrick stage queues on the
@@ -74,6 +95,11 @@ def preprocess_world_speaker(speaker_dir: str, out_dir: str,
     else:
         feats = [analyze(fp) for fp in wav_fps]
 
+    return _write_speaker_outputs(spk, spk_out, out_dir, feats, save_sp_ap)
+
+
+def _write_speaker_outputs(spk: str, spk_out: str, out_dir: str,
+                           feats: list, save_sp_ap: bool) -> dict:
     # per-speaker statistics (reference :278-292 and the :340-346 norm path)
     all_mc = np.concatenate([mc for _, _, _, _, mc in feats], axis=0)
     _, mc_mean, mc_std = mcs_normalization_fit_transform(all_mc.T)
@@ -97,7 +123,8 @@ def preprocess_world_speaker(speaker_dir: str, out_dir: str,
 
 def preprocess_world_dataset(dataset_fp: str, out_dir: str,
                              sample_rate: int = 16_000, num_mcep: int = 36,
-                             frame_period: float = 5.0) -> list[dict]:
+                             frame_period: float = 5.0,
+                             f0_mode: str = "native") -> list[dict]:
     """All speaker dirs under dataset_fp (reference :302-348 driver)."""
     os.makedirs(out_dir, exist_ok=True)
     stats = []
@@ -105,5 +132,6 @@ def preprocess_world_dataset(dataset_fp: str, out_dir: str,
         full = os.path.join(dataset_fp, d)
         if os.path.isdir(full):
             stats.append(preprocess_world_speaker(full, out_dir, sample_rate,
-                                                  num_mcep, frame_period))
+                                                  num_mcep, frame_period,
+                                                  f0_mode=f0_mode))
     return stats

@@ -1,0 +1,591 @@
+"""Batched Harvest F0 estimation, resident on the accelerator.
+
+TPU port of the native Harvest engine (native/dvc_world.cpp:dvc_harvest_stage)
+— the same algorithm the reference gets from pyworld.harvest at
+/root/reference/preprocessing/WORLD_processing.py:29-39 — reformulated so a
+whole BATCH of utterances runs as one XLA program:
+
+  * decimation        -> strided conv (one lax.conv over the batch)
+  * channel filtering -> precomputed Nuttall band-pass rfft spectra (delay
+                         compensation baked into the spectrum as a phase
+                         ramp), one batched irfft per channel block
+  * event trains      -> the four zero-crossing/peak/dip interval tracks are
+                         kept in per-SAMPLE sparse form; consecutive-event
+                         pairing and linear interpolation onto the 1 ms
+                         candidate grid use cummax/cummin next/prev-event
+                         indices + searchsorted (no dynamic shapes, no sort)
+  * candidate merge   -> lax.scan over channels in index order (same dedup
+                         semantics as the native serial merge)
+  * refinement        -> harmonic-weighted instantaneous frequency (Flanagan)
+                         from Blackman window/derivative-window rfft pairs;
+                         the native per-candidate window length (1.5*afs/f0)
+                         is quantized to half-octave BUCKETS so every bucket
+                         is one fixed-shape batched rfft (the one deliberate
+                         deviation from the native engine — everything else
+                         follows it arithmetically)
+  * contour fixing    -> jump removal / short-run removal vectorized;
+                         forward/backward candidate-pool extension and the
+                         zero-phase Butterworth smoother as lax.scans with
+                         per-segment carry resets
+
+Because of the bucketed refinement windows (and float32 vs the native
+double), output parity with the native engine is gated by TOLERANCE tests
+(tests/test_harvest_tpu.py: voiced/unvoiced agreement + relative-F0 error vs
+native dvc_harvest), not bit-equality.  The native engine remains the
+default single-utterance path; this module is the corpus-scale batch path
+(`preprocess-world --f0 device`).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+CAND_PERIOD = 0.001  # seconds — internal candidate grid (native: cand_period)
+_CH_PER_OCT = 24.0
+_REFINE_BUCKETS_PER_OCT = 2  # half-octave window-length quantization
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << int(n - 1).bit_length()
+
+
+def _nuttall(x: np.ndarray) -> np.ndarray:
+    """Nuttall window on x in [0, 1] (matches native nuttall())."""
+    return (0.355768 - 0.487396 * np.cos(2 * np.pi * x)
+            + 0.144232 * np.cos(4 * np.pi * x)
+            - 0.012604 * np.cos(6 * np.pi * x))
+
+
+def _blackman(x: np.ndarray) -> np.ndarray:
+    return 0.42 - 0.5 * np.cos(2 * np.pi * x) + 0.08 * np.cos(4 * np.pi * x)
+
+
+@dataclass(frozen=True, repr=False)
+class _Plan:
+    """Host-side (numpy) precomputation for one (n, fs, floor, ceil) shape."""
+    n: int
+    fs: int
+    f0_floor: float
+    f0_ceil: float
+    ratio: int
+    afs: float
+    m: int                      # analysis-rate sample count
+    n1: int                     # 1 ms candidate-grid frames
+    fft_size: int
+    n_ch: int
+    ch_block: int               # channels per lax.map step
+    dec_fir: np.ndarray         # (2*half+1,)
+    dec_half: int
+    bank: np.ndarray            # (n_ch_pad, K) complex64
+    bf0: np.ndarray             # (n_ch_pad,)
+    buckets: tuple              # tuple of (half, fft_b, win, dwin)
+    max_half: int
+
+
+@functools.lru_cache(maxsize=8)
+def _plan(n: int, fs: int, f0_floor: float, f0_ceil: float) -> _Plan:
+    ratio = max(1, fs // 8000)
+    afs = fs / ratio
+    m = n // ratio
+    n1 = int(n / fs / CAND_PERIOD) + 1
+    margin = int(4.0 * afs / f0_floor) + 1
+    fft_size = _next_pow2(m + 2 * margin)
+    n_ch = 1 + int(np.log2(f0_ceil / f0_floor) * _CH_PER_OCT)
+
+    # decimation FIR (native decimate(): windowed sinc, cutoff 0.45/ratio)
+    if ratio > 1:
+        dec_half = 32 * ratio
+        cutoff = 0.45 / ratio
+        t = np.arange(2 * dec_half + 1, dtype=np.float64) - dec_half
+        sinc = np.where(t == 0.0, 2.0 * cutoff,
+                        np.sin(2 * np.pi * cutoff * t) / (np.pi * np.where(t == 0, 1.0, t)))
+        fir = sinc * _blackman(np.arange(2 * dec_half + 1) / (2 * dec_half))
+        fir /= fir.sum()
+    else:
+        dec_half = 0
+        fir = np.ones(1, np.float64)
+
+    # channel band-pass rfft spectra with the filter-delay compensation
+    # (time shift by +half) baked in as a phase ramp e^{+j 2 pi k half / N}
+    kk = np.arange(fft_size // 2 + 1)
+    nch_pad = -(-n_ch // 8) * 8  # pad to a multiple of the map block
+    bank = np.zeros((nch_pad, fft_size // 2 + 1), np.complex64)
+    bf0s = np.zeros(nch_pad, np.float64)
+    for ch in range(n_ch):
+        bf0 = f0_floor * 2.0 ** ((ch + 1) / _CH_PER_OCT)
+        bf0s[ch] = bf0
+        if bf0 > f0_ceil * 1.1:
+            continue
+        half = int(afs / bf0 * 2.0 + 0.5)
+        flen = 2 * half + 1
+        if flen >= fft_size:
+            continue
+        taps = np.zeros(fft_size, np.float64)
+        i = np.arange(flen)
+        taps[:flen] = _nuttall(i / (flen - 1)) * np.cos(
+            2 * np.pi * bf0 * (i - half) / afs)
+        spec = np.fft.rfft(taps) * np.exp(2j * np.pi * kk * half / fft_size)
+        bank[ch] = spec.astype(np.complex64)
+
+    # refinement window buckets: half-octave grid over [floor, ceil]
+    n_b = int(np.ceil(np.log2(f0_ceil / f0_floor) * _REFINE_BUCKETS_PER_OCT))
+    buckets = []
+    max_half = 0
+    for b in range(n_b):
+        fc = f0_floor * 2.0 ** ((b + 0.5) / _REFINE_BUCKETS_PER_OCT)
+        half = int(1.5 * afs / fc + 0.5)
+        wlen = 2 * half + 1
+        fft_b = _next_pow2(wlen) * 2
+        x = np.arange(wlen) / (wlen - 1)
+        win = _blackman(x)
+        wpad = np.concatenate([[0.0], win, [0.0]])
+        dwin = (wpad[2:] - wpad[:-2]) * 0.5 * afs  # native derivative window
+        buckets.append((half, fft_b, win.astype(np.float32),
+                        dwin.astype(np.float32)))
+        max_half = max(max_half, half)
+
+    return _Plan(n=n, fs=fs, f0_floor=f0_floor, f0_ceil=f0_ceil, ratio=ratio,
+                 afs=afs, m=m, n1=n1, fft_size=fft_size, n_ch=n_ch,
+                 ch_block=8, dec_fir=fir, dec_half=dec_half, bank=bank,
+                 bf0=bf0s, buckets=tuple(buckets), max_half=max_half)
+
+
+# --------------------------------------------------------------- events -----
+
+def _interval_track(cross: jax.Array, loc: jax.Array):
+    """Per-sample sparse interval track from crossing events.
+
+    cross: (..., E) bool — event at position i;  loc: (..., E) event time.
+    Returns (ev, tm, fv): ev marks a TRACK point (an event that has a next
+    event); tm/fv are the interval midpoint time and 1/interval at it —
+    native zero_crossings' (t, f0) pairs kept at the first event's position.
+    """
+    e = cross.shape[-1]
+    idx = jnp.arange(e)
+    big = e + 1
+    # next event index at-or-after each position (reverse cummin)
+    ax = cross.ndim - 1
+    nxt = jnp.flip(lax.cummin(jnp.flip(
+        jnp.where(cross, idx, big), axis=ax), axis=ax), axis=ax)
+    nxt_after = jnp.concatenate(  # strictly-after: shift left, pad with big
+        [nxt[..., 1:], jnp.full(nxt.shape[:-1] + (1,), big, nxt.dtype)],
+        axis=-1)
+    has_next = nxt_after < e
+    j = jnp.where(has_next, nxt_after, 0)
+    loc_next = jnp.take_along_axis(loc, j, axis=-1)
+    ev = cross & has_next
+    tm = 0.5 * (loc + loc_next)
+    fv = 1.0 / jnp.maximum(loc_next - loc, 1e-12)
+    return ev, tm, fv
+
+
+def _interp_track_grid(ev: jax.Array, tm: jax.Array, fv: jax.Array,
+                       grid: jax.Array) -> jax.Array:
+    """Linear interpolation of a sparse track onto grid times.
+
+    Mirrors native interp_track(): 0 outside [first, last] track point or
+    with <2 points; otherwise interpolate the bracketing pair.  ev/tm/fv are
+    (E,); grid (G,).  Returns (G,).  vmapped over batch/channel/train dims.
+    """
+    e = ev.shape[-1]
+    idx = jnp.arange(e)
+    big = e + 1
+    tm_sorted = jnp.where(ev, tm, jnp.inf)  # per-position next-track-tm…
+    nxt_val = jnp.flip(lax.cummin(jnp.flip(tm_sorted), axis=0))  # non-decr.
+    nxt_idx = jnp.flip(lax.cummin(jnp.flip(jnp.where(ev, idx, big)), axis=0))
+    prv_idx = lax.cummax(jnp.where(ev, idx, -1), axis=0)
+
+    p = jnp.searchsorted(nxt_val, grid, side="left")  # (G,)
+    p = jnp.clip(p, 0, e - 1)
+    j2 = nxt_idx[p]                       # first track point with tm >= t
+    j2_ok = j2 < e
+    j2c = jnp.where(j2_ok, j2, 0)
+    j1 = prv_idx[jnp.maximum(j2c - 1, 0)]  # last track point before j2
+    j1_ok = (j1 >= 0) & (j2c >= 1)
+    j1c = jnp.where(j1_ok, j1, 0)
+    t0, t1 = tm[j1c], tm[j2c]
+    f0v, f1v = fv[j1c], fv[j2c]
+    a = jnp.where(t1 > t0, (grid - t0) / jnp.maximum(t1 - t0, 1e-12), 0.0)
+    v = f0v * (1.0 - a) + f1v * a
+    n_pts = jnp.sum(ev)
+    valid = j2_ok & j1_ok & (n_pts >= 2) & (grid >= 0)
+    return jnp.where(valid, v, 0.0)
+
+
+def _channel_candidates(filtered: jax.Array, bf0: jax.Array, afs: float,
+                        grid: jax.Array, f0_floor: float,
+                        f0_ceil: float) -> jax.Array:
+    """(CB, B, M) filtered block -> (CB, B, G) per-channel candidate f0.
+
+    The four event trains (falling/rising zero crossings of the signal;
+    peaks/dips = crossings of its first difference) must all interpolate to
+    within 20 % relative deviation, inside the channel band [bf0/2, 2*bf0]
+    (native dvc_world.cpp:555-627)."""
+    s = filtered
+    a, b = s[..., :-1], s[..., 1:]
+    i = jnp.arange(s.shape[-1] - 1, dtype=s.dtype)
+    loc_s = (i + a / jnp.where(a == b, 1.0, a - b)) / afs
+    d = jnp.concatenate(  # native dif_at: diff with a trailing implicit 0
+        [s[..., 1:] - s[..., :-1],
+         jnp.zeros(s.shape[:-1] + (1,), s.dtype)], axis=-1)
+    da, db = d[..., :-1], d[..., 1:]
+    loc_d = (i + da / jnp.where(da == db, 1.0, da - db)) / afs
+
+    crosses = (
+        ((a > 0.0) & (b <= 0.0), loc_s),    # falling
+        ((a < 0.0) & (b >= 0.0), loc_s),    # rising
+        ((da > 0.0) & (db <= 0.0), loc_d),  # peaks
+        ((da < 0.0) & (db >= 0.0), loc_d),  # dips
+    )
+    interp = _interp_track_grid
+    for _ in range(filtered.ndim - 1):  # vmap over leading (CB, B) dims
+        interp = jax.vmap(interp, in_axes=(0, 0, 0, None))
+    vs = []
+    for cr, loc in crosses:
+        ev, tm, fv = _interval_track(cr, loc)
+        vs.append(interp(ev, tm, fv, grid))
+    v = jnp.stack(vs, axis=-1)  # (CB, B, G, 4)
+
+    ok = jnp.all(v > 0.0, axis=-1)
+    mean = jnp.mean(v, axis=-1)
+    dev = jnp.sqrt(jnp.sum((v - mean[..., None]) ** 2, axis=-1) / 3.0) \
+        / jnp.maximum(mean, 1e-12)
+    band = (mean >= bf0[:, None, None] * 0.5) & (mean <= bf0[:, None, None] * 2.0)
+    inside = (mean >= f0_floor) & (mean <= f0_ceil)
+    return jnp.where(ok & (dev <= 0.2) & band & inside, mean, 0.0)
+
+
+# ------------------------------------------------------------ candidates ----
+
+def _merge_channels(cols: jax.Array, max_c: int):
+    """Serial-in-channel-order dedup merge (native dvc_world.cpp:633-649).
+
+    cols: (C, B, G).  Returns cand_f (B, G, max_c), n_c (B, G)."""
+    b, g = cols.shape[1], cols.shape[2]
+    slots = jnp.arange(max_c)
+
+    def step(carry, col):
+        cand, n_c = carry
+        m = col  # (B, G)
+        live = slots[None, None, :] < n_c[..., None]
+        dup = jnp.any(live & (jnp.abs(cand - m[..., None]) < 0.03 * m[..., None]),
+                      axis=-1)
+        ins = (m > 0.0) & ~dup & (n_c < max_c)
+        onehot = (slots[None, None, :] == n_c[..., None]) & ins[..., None]
+        cand = jnp.where(onehot, m[..., None], cand)
+        n_c = n_c + ins.astype(n_c.dtype)
+        return (cand, n_c), None
+
+    cand0 = jnp.zeros((b, g, max_c), cols.dtype)
+    n0 = jnp.zeros((b, g), jnp.int32)
+    (cand, n_c), _ = lax.scan(step, (cand0, n0), cols)
+    return cand, n_c
+
+
+# ------------------------------------------------------------ refinement ----
+
+def _refine(plan: _Plan, y_pad: jax.Array, cand: jax.Array):
+    """Harmonic-weighted instantaneous-frequency refinement + score
+    (native refine_candidate, dvc_world.cpp:158-280) with the window length
+    quantized to half-octave buckets (one fixed-shape rfft per bucket).
+
+    y_pad: (B, M + 2*max_half) zero-padded analysis signal;
+    cand: (B, G, C) candidate f0 (0 = empty slot).
+    Returns (refined (B,G,C), score (B,G,C))."""
+    afs, n1 = plan.afs, plan.n1
+    centers = jnp.asarray(
+        np.round(np.arange(n1) * CAND_PERIOD * plan.afs).astype(np.int64),
+        jnp.int32)
+    f0 = cand
+    bkt = jnp.clip((jnp.log2(jnp.maximum(f0, 1e-6) / plan.f0_floor)
+                    * _REFINE_BUCKETS_PER_OCT).astype(jnp.int32),
+                   0, len(plan.buckets) - 1)
+    n_harm = jnp.minimum(6, (afs / 2.0 / jnp.maximum(f0, 1e-6)).astype(jnp.int32))
+    h = jnp.arange(1, 7, dtype=jnp.float32)  # (6,)
+
+    refined = jnp.zeros_like(f0)
+    score = jnp.zeros_like(f0)
+    for b_i, (half, fft_b, win, dwin) in enumerate(plan.buckets):
+        wlen = 2 * half + 1
+        idx = centers[:, None] - half + jnp.arange(wlen)[None, :] \
+            + plan.max_half  # into y_pad
+        seg = y_pad[:, idx]  # (B, G, wlen)
+        rm = jnp.fft.rfft(seg * jnp.asarray(win), n=fft_b, axis=-1)
+        rd = jnp.fft.rfft(seg * jnp.asarray(dwin), n=fft_b, axis=-1)
+        freq_res = afs / fft_b
+
+        k = jnp.round(f0[..., None] * h / freq_res).astype(jnp.int32)
+        k_ok = (k > 0) & (k < fft_b // 2)
+        h_ok = (h[None, None, None, :] <= n_harm[..., None]) & k_ok
+        kc = jnp.clip(k, 0, fft_b // 2)
+        bb, gg, cc = f0.shape
+        flat = kc.reshape(bb, gg, cc * 6)
+        sm = jnp.take_along_axis(rm, flat, axis=-1).reshape(bb, gg, cc, 6)
+        sd = jnp.take_along_axis(rd, flat, axis=-1).reshape(bb, gg, cc, 6)
+        power = jnp.maximum(sm.real ** 2 + sm.imag ** 2, 1e-30)
+        amp = jnp.sqrt(power)
+        instf = kc * freq_res + (sd.real * sm.imag - sd.imag * sm.real) \
+            / (2.0 * np.pi * power)
+        amp = jnp.where(h_ok, amp, 0.0)
+        num = jnp.sum(amp * instf, axis=-1)
+        den = jnp.sum(amp * h, axis=-1)
+        ref_b = num / jnp.maximum(den, 1e-12)
+        wsum = jnp.sum(amp, axis=-1)
+        dev = jnp.sum(amp * jnp.abs(instf / h - ref_b[..., None]), axis=-1) \
+            / (jnp.maximum(wsum, 1e-12) * jnp.maximum(ref_b, 1e-12))
+        sc_b = 1.0 / (dev + 1e-6)
+        odd = jnp.sum(amp * jnp.asarray([1., 0., 1., 0., 1., 0.]), axis=-1)
+        nh_eff = jnp.sum(h_ok, axis=-1)
+        odd_frac = odd / jnp.maximum(wsum, 1e-12)
+        sc_b = jnp.where(nh_eff >= 2,
+                         sc_b * jnp.minimum(1.0, odd_frac / 0.2), sc_b)
+        ok = (nh_eff >= 1) & (den > 1e-12) \
+            & (ref_b >= plan.f0_floor) & (ref_b <= plan.f0_ceil)
+        sc_b = jnp.where(ok, sc_b, 0.0)
+        sel = (bkt == b_i) & (f0 > 0.0)
+        refined = jnp.where(sel, jnp.where(ok, ref_b, 0.0), refined)
+        score = jnp.where(sel, sc_b, score)
+    return refined, score
+
+
+def _dedup_refined(cand: jax.Array, score: jax.Array):
+    """Post-refinement near-duplicate merge keeping the best score
+    (native dvc_world.cpp:664-679), as a scan over the slot axis."""
+    max_c = cand.shape[-1]
+    slots = jnp.arange(max_c)
+
+    def step(carry, j):
+        f, s = carry
+        fj = jnp.take_along_axis(f, jnp.full(f.shape[:-1] + (1,), j), -1)[..., 0]
+        sj = jnp.take_along_axis(s, jnp.full(s.shape[:-1] + (1,), j), -1)[..., 0]
+        close = (slots[None, None, :] > j) & (f > 0.0) \
+            & (fj[..., None] > 0.0) \
+            & (jnp.abs(f - fj[..., None]) < 0.03 * fj[..., None])
+        s_best = jnp.max(jnp.where(close, s, -jnp.inf), axis=-1)
+        take = (s_best > sj) & jnp.any(close, axis=-1)
+        arg = jnp.argmax(jnp.where(close, s, -jnp.inf), axis=-1)
+        f_best = jnp.take_along_axis(f, arg[..., None], -1)[..., 0]
+        new_fj = jnp.where(take, f_best, fj)
+        new_sj = jnp.where(take, jnp.maximum(s_best, sj), sj)
+        isj = slots[None, None, :] == j
+        f = jnp.where(close, 0.0, jnp.where(isj, new_fj[..., None], f))
+        s = jnp.where(close, 0.0, jnp.where(isj, new_sj[..., None], s))
+        return (f, s), None
+
+    (f, s), _ = lax.scan(step, (cand, score), jnp.arange(max_c))
+    return f, s
+
+
+# ---------------------------------------------------------- contour fixes ---
+
+def _closest_ratio(neighbor: jax.Array, f: jax.Array) -> jax.Array:
+    """Per candidate slot, min over the NEIGHBOR frame's candidate set of
+    |c - f| / f (1e30 when the neighbor has no valid candidates).
+    neighbor, f: (B, G, C) -> (B, G, C)."""
+    r = jnp.abs(neighbor[..., None, :] - f[..., :, None]) \
+        / jnp.maximum(f[..., :, None], 1e-12)
+    return jnp.min(jnp.where(neighbor[..., None, :] > 0.0, r, 1e30), axis=-1)
+
+
+def _run_lengths(v: jax.Array) -> jax.Array:
+    """Per-frame length of the voiced run containing it (0 where unvoiced).
+    v: (..., G) bool; scan-free via cummax/cummin index tricks."""
+    g = v.shape[-1]
+    idx = jnp.arange(g)
+    prev = jnp.concatenate([jnp.zeros(v.shape[:-1] + (1,), bool), v[..., :-1]],
+                           axis=-1)
+    nxt = jnp.concatenate([v[..., 1:], jnp.zeros(v.shape[:-1] + (1,), bool)],
+                          axis=-1)
+    start = lax.cummax(jnp.where(v & ~prev, idx, -1), axis=v.ndim - 1)
+    end = jnp.flip(lax.cummin(jnp.flip(
+        jnp.where(v & ~nxt, idx, g + 1), axis=-1), axis=v.ndim - 1), axis=-1)
+    return jnp.where(v, end - start + 1, 0)
+
+
+def _extend(f0: jax.Array, cand: jax.Array) -> jax.Array:
+    """Forward candidate-pool extension of voiced sections
+    (native dvc_world.cpp:759-771; the backward pass is this on reversed
+    arrays).  Native's 100-frame budget refreshes at every new boundary the
+    outer loop reaches, so extension effectively continues while matches
+    exist — expressed here as one scan with a carried reference pitch."""
+    def best_match(c, ref):
+        okc = (c > 0.0) & (jnp.abs(c - ref[..., None]) / jnp.maximum(
+            ref[..., None], 1e-12) <= 0.09)
+        d = jnp.where(okc, jnp.abs(c - ref[..., None]), jnp.inf)
+        arg = jnp.argmin(d, axis=-1)
+        m = jnp.take_along_axis(c, arg[..., None], -1)[..., 0]
+        return jnp.where(jnp.any(okc, axis=-1), m, 0.0)
+
+    def step(ref, x):
+        fi, ci = x
+        voiced = fi > 0.0
+        active = (ref > 0.0) & ~voiced
+        m = jnp.where(active, best_match(ci, jnp.maximum(ref, 1e-12)), 0.0)
+        out = jnp.where(voiced, fi, m)
+        return out, out  # new ref = filled value (0 deactivates)
+
+    b = f0.shape[0]
+    _, out = lax.scan(step, jnp.zeros((b,), f0.dtype),
+                      (jnp.moveaxis(f0, 1, 0), jnp.moveaxis(cand, 1, 0)))
+    return jnp.moveaxis(out, 0, 1)
+
+
+def _smooth_segments(f0: jax.Array) -> jax.Array:
+    """Zero-phase 2nd-order Butterworth (fc=0.03 of the 1 kHz grid) applied
+    forward-then-backward within each voiced segment, with edge-pad state
+    (native zero_phase_lpf, dvc_world.cpp:284-307); segments shorter than 5
+    frames pass through unchanged."""
+    k = np.tan(np.pi * 0.03)
+    norm = 1.0 + np.sqrt(2.0) * k + k * k
+    b0 = k * k / norm
+    b1, b2 = 2.0 * b0, b0
+    a1 = 2.0 * (k * k - 1.0) / norm
+    a2 = (1.0 - np.sqrt(2.0) * k + k * k) / norm
+
+    v = f0 > 0.0
+
+    def directional(x, voiced):
+        prev = jnp.concatenate(
+            [jnp.zeros(voiced.shape[:-1] + (1,), bool), voiced[..., :-1]],
+            axis=-1)
+        start = voiced & ~prev
+
+        def step(carry, inp):
+            x1, x2, y1, y2 = carry
+            x0, st = inp
+            x1 = jnp.where(st, x0, x1)
+            x2 = jnp.where(st, x0, x2)
+            y1 = jnp.where(st, x0, y1)
+            y2 = jnp.where(st, x0, y2)
+            y0 = b0 * x0 + b1 * x1 + b2 * x2 - a1 * y1 - a2 * y2
+            return (x0, x1, y0, y1), y0
+
+        bsz = x.shape[0]
+        z = jnp.zeros((bsz,), x.dtype)
+        _, ys = lax.scan(step, (z, z, z, z),
+                         (jnp.moveaxis(x, 1, 0), jnp.moveaxis(start, 1, 0)))
+        return jnp.moveaxis(ys, 0, 1)
+
+    fwd = directional(f0, v)
+    bwd = jnp.flip(directional(jnp.flip(fwd, -1), jnp.flip(v, -1)), -1)
+    keep = (_run_lengths(v) < 5) | ~v
+    return jnp.where(keep, f0, bwd)
+
+
+# ----------------------------------------------------------------- driver ---
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _harvest_jit(wavs: jax.Array, lengths: jax.Array, fs: int,
+                 frame_period_ms: float, f0_floor: float, f0_ceil: float):
+    plan = _plan(wavs.shape[-1], fs, f0_floor, f0_ceil)
+    bsz = wavs.shape[0]
+
+    # --- decimation + per-utterance mean removal + tail masking ----------
+    if plan.ratio > 1:
+        fir = jnp.asarray(plan.dec_fir, jnp.float32)
+        y = lax.conv_general_dilated(
+            wavs[:, None, :].astype(jnp.float32), fir[None, None, :],
+            window_strides=(plan.ratio,),
+            padding=[(plan.dec_half, plan.dec_half)],
+            dimension_numbers=("NCH", "IOH", "NCH"))[:, 0, :plan.m]
+    else:
+        y = wavs[:, :plan.m].astype(jnp.float32)
+    m_true = jnp.maximum(lengths // plan.ratio, 1)
+    live = jnp.arange(plan.m)[None, :] < m_true[:, None]
+    mean = jnp.sum(jnp.where(live, y, 0.0), axis=-1) / m_true.astype(y.dtype)
+    y = jnp.where(live, y - mean[:, None], 0.0)
+
+    # --- channel filtering + candidate contours (blocked over channels) --
+    yf = jnp.fft.rfft(y, n=plan.fft_size, axis=-1)  # (B, K)
+    grid = jnp.arange(plan.n1, dtype=jnp.float32) * CAND_PERIOD
+    bank = jnp.asarray(plan.bank)
+    bf0s = jnp.asarray(plan.bf0, jnp.float32)
+    n_blocks = bank.shape[0] // plan.ch_block
+
+    def block(args):
+        bank_b, bf0_b = args
+        filt = jnp.fft.irfft(bank_b[:, None, :] * yf[None, :, :],
+                             n=plan.fft_size, axis=-1)[..., :plan.m]
+        return _channel_candidates(filt, bf0_b, plan.afs, grid,
+                                   plan.f0_floor, plan.f0_ceil)
+
+    cols = lax.map(block, (bank.reshape(n_blocks, plan.ch_block, -1),
+                           bf0s.reshape(n_blocks, plan.ch_block)))
+    cols = cols.reshape(-1, bsz, plan.n1)[:plan.n_ch]  # (C, B, G)
+
+    # --- merge, refine, dedup, prune ------------------------------------
+    cand, _ = _merge_channels(cols, plan.n_ch)
+    y_pad = jnp.pad(y, ((0, 0), (plan.max_half, plan.max_half)))
+    refined, score = _refine(plan, y_pad, cand)
+    cand, score = _dedup_refined(refined, score)
+
+    pad_frame = jnp.zeros((bsz, 1, plan.n_ch), cand.dtype)
+    cprev = jnp.concatenate([pad_frame, cand[:, :-1]], axis=1)
+    cnext = jnp.concatenate([cand[:, 1:], pad_frame], axis=1)
+    fidx = jnp.arange(plan.n1)[None, :, None]
+    rp = jnp.where(fidx == 0, 0.0, _closest_ratio(cprev, cand))
+    rn = jnp.where(fidx == plan.n1 - 1, 0.0, _closest_ratio(cnext, cand))
+    score = jnp.where((cand > 0.0) & ((rp > 0.05) | (rn > 0.05)), 0.0, score)
+
+    # --- base contour + fix steps ---------------------------------------
+    arg = jnp.argmax(score, axis=-1)
+    best = jnp.take_along_axis(score, arg[..., None], -1)[..., 0]
+    f0 = jnp.where(best > 0.0,
+                   jnp.take_along_axis(cand, arg[..., None], -1)[..., 0], 0.0)
+
+    prev = jnp.concatenate([jnp.zeros((bsz, 1), f0.dtype), f0[:, :-1]], axis=1)
+    jump = (f0 > 0.0) & (prev > 0.0) \
+        & (jnp.abs(f0 - prev) / jnp.maximum(f0, 1e-12) > 0.008)
+    step1 = jnp.where(jump, 0.0, f0)
+
+    step2 = jnp.where(_run_lengths(step1 > 0.0) < 9, 0.0, step1)
+
+    ext = _extend(step2, cand)
+    ext = jnp.flip(_extend(jnp.flip(ext, -1), jnp.flip(cand, -2)), -1)
+
+    final = _smooth_segments(ext)
+
+    # --- resample the 1 ms track to the requested frame period ----------
+    n_out = int(1000.0 * plan.n / fs / frame_period_ms) + 1
+    t_out = np.arange(n_out) * frame_period_ms / 1000.0
+    ki = jnp.asarray(np.minimum(plan.n1 - 1,
+                                (t_out / CAND_PERIOD + 0.5).astype(np.int64)),
+                     jnp.int32)
+    out = final[:, ki]
+    out = jnp.where((out >= f0_floor) & (out <= f0_ceil), out, 0.0)
+    # frames past each utterance's own end are unvoiced by contract
+    n_true = (lengths.astype(jnp.float32)
+              * float(1000.0 / fs / frame_period_ms)).astype(jnp.int32) + 1
+    out = jnp.where(jnp.arange(n_out)[None, :] < n_true[:, None], out, 0.0)
+    return out
+
+
+def harvest_batch(wavs, lengths=None, fs: int = 16_000,
+                  frame_period_ms: float = 5.0, f0_floor: float = 71.0,
+                  f0_ceil: float = 800.0) -> jax.Array:
+    """Batched Harvest F0 for (B, N) waveforms (zero-padded to shared N).
+
+    lengths: true sample counts (B,); defaults to N for every row.  Returns
+    f0 (B, n_out) with n_out = int(1000*N/fs/frame_period)+1; rows are
+    unvoiced (0) past their own int(1000*len/fs/frame_period)+1 frames.
+    Same output contract as native dvc_harvest / pyworld.harvest
+    (/root/reference/preprocessing/WORLD_processing.py:33)."""
+    wavs = jnp.asarray(wavs, jnp.float32)
+    if wavs.ndim == 1:
+        wavs = wavs[None]
+    if wavs.shape[-1] < 64:
+        raise ValueError(f"harvest needs >= 64 samples, got {wavs.shape[-1]}")
+    if not (f0_floor > 0.0 and f0_ceil > f0_floor and frame_period_ms > 0.0):
+        raise ValueError("degenerate harvest parameters")
+    if lengths is None:
+        lengths = jnp.full((wavs.shape[0],), wavs.shape[-1], jnp.int32)
+    else:
+        lengths = jnp.asarray(lengths, jnp.int32)
+    return _harvest_jit(wavs, lengths, int(fs), float(frame_period_ms),
+                        float(f0_floor), float(f0_ceil))

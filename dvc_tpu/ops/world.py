@@ -483,6 +483,92 @@ def world_decompose(wav: np.ndarray, fs: int, frame_period: float = 5.0,
             np.asarray(mc)[:n_true])
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _envelope_mcep_chain_batch(wavs: jax.Array, f0s: jax.Array, fs: int,
+                               frame_period: float, num_mcep: int):
+    """vmapped CheapTrick + mel-cepstrum over a bucket of utterances."""
+    alpha = mcepalpha(fs)
+
+    def one(w, f):
+        sp = spectral_envelope(w, f, fs, frame_period)
+        return sp, sp2mc(sp, order=num_mcep - 1, alpha=alpha)
+
+    return jax.vmap(one)(wavs, f0s)
+
+
+def world_decompose_batch(wavs: list[np.ndarray], fs: int,
+                          frame_period: float = 5.0, num_mcep: int = 36,
+                          pad_to: int = 8000, max_batch: int = 16,
+                          keep_sp_ap: bool = True) -> list[tuple]:
+    """Corpus-scale batched WORLD analysis: many utterances per device call.
+
+    Same per-utterance output contract as world_decompose (reference
+    WORLD_processing.py:29-39), but the heavy stages run BATCHED on the
+    accelerator: Harvest F0 via ops/harvest.py (the TPU port of the native
+    engine, tolerance-gated against it) and CheapTrick + mcep as one vmapped
+    program per length bucket.  D4C stays on the native engine (it is not
+    the corpus bottleneck).  Utterances are bucketed by padded length so a
+    handful of compiled shapes covers a corpus.
+
+    keep_sp_ap=False skips the D4C call and returns sp=ap=None per utterance
+    (the preprocess driver's default payload only stores f0/mcc).
+    """
+    from dvc_tpu.native import world as native_world
+    from dvc_tpu.ops.harvest import harvest_batch
+
+    hop = int(fs * frame_period / 1000.0)
+    results: list = [None] * len(wavs)
+    buckets: dict[int, list[int]] = {}
+    for i, w in enumerate(wavs):
+        if len(w) < 64:
+            raise ValueError(f"utterance {i}: need >= 64 samples, got {len(w)}")
+        bucket = int(np.ceil((len(w) + 1) / pad_to)) * pad_to
+        buckets.setdefault(bucket, []).append(i)
+
+    for bucket, idxs in sorted(buckets.items()):
+        n_pad_frames = bucket // hop + 1
+        for lo in range(0, len(idxs), max_batch):
+            chunk = idxs[lo:lo + max_batch]
+            batch = np.zeros((len(chunk), bucket), np.float32)
+            lengths = np.empty(len(chunk), np.int64)
+            for r, i in enumerate(chunk):
+                batch[r, :len(wavs[i])] = wavs[i]
+                lengths[r] = len(wavs[i])
+            f0b = np.asarray(harvest_batch(batch, lengths, fs, frame_period))
+            # crop/pad each row to the sp/mc frame contract (len//hop + 1),
+            # mirroring world_decompose's alignment rule
+            f0_rows = []
+            for r, i in enumerate(chunk):
+                n_true = int(lengths[r]) // hop + 1
+                row = f0b[r]
+                if len(row) < n_true:
+                    row = np.pad(row, (0, n_true - len(row)))
+                f0_rows.append(row[:n_true])
+            f0_pad = np.zeros((len(chunk), n_pad_frames), np.float32)
+            for r, row in enumerate(f0_rows):
+                f0_pad[r, :len(row)] = row
+            sp_b, mc_b = _envelope_mcep_chain_batch(
+                jnp.asarray(batch), jnp.asarray(f0_pad), fs, frame_period,
+                num_mcep)
+            sp_b = np.asarray(sp_b)
+            mc_b = np.asarray(mc_b)
+            for r, i in enumerate(chunk):
+                f0 = f0_rows[r].astype(np.float32)
+                n_true = len(f0)
+                timeaxis = (np.arange(n_true) * frame_period / 1000.0
+                            ).astype(np.float32)
+                sp = ap = None
+                if keep_sp_ap:
+                    sp = sp_b[r, :n_true]
+                    ap = np.asarray(
+                        native_world.d4c(wavs[i].astype(np.float32), f0, fs,
+                                         frame_period,
+                                         fft_size=2 * (sp.shape[-1] - 1)),
+                        np.float32)[:n_true]
+                results[i] = (f0, timeaxis, sp, ap, mc_b[r, :n_true])
+    return results
+
+
 def world_encode_data(wav: np.ndarray, fs: int, frame_period: float = 5.0,
                       num_mcep: int = 36):
     """Reference world_encode_data (WORLD_processing.py:61-77)."""

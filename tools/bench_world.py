@@ -81,6 +81,23 @@ def main() -> None:
                       round(dt / total_sec, 4),
                       "realtime_x": round(total_sec / dt, 2)}))
 
+    # batched accelerator Harvest (ops/harvest.py): whole corpus, one program
+    from dvc_tpu.ops.harvest import harvest_batch
+    import jax
+    pad = max(len(u) for u in utts)
+    batch = np.zeros((len(utts), pad), np.float32)
+    lengths = np.empty(len(utts), np.int64)
+    for i, u in enumerate(utts):
+        batch[i, :len(u)] = u
+        lengths[i] = len(u)
+    harvest_batch(batch, lengths, FS).block_until_ready()  # warm/compile
+    dt = best_of(lambda: jax.block_until_ready(
+        harvest_batch(batch, lengths, FS)), args.reps)
+    print(json.dumps({"stage": "harvest_device_batch", "sec_per_audio_sec":
+                      round(dt / total_sec, 4),
+                      "realtime_x": round(total_sec / dt, 2),
+                      "device": jax.devices()[0].platform}))
+
     sps = [np.full((len(f0), 513), 1e-4) for f0 in f0s]
     freqs = np.arange(513) * FS / 1024
     tilt = 1e-2 / (1.0 + (freqs / 500.0) ** 2)
