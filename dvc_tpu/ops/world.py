@@ -504,16 +504,16 @@ def world_decompose_batch(wavs: list[np.ndarray], fs: int,
 
     Same per-utterance output contract as world_decompose (reference
     WORLD_processing.py:29-39), but the heavy stages run BATCHED on the
-    accelerator: Harvest F0 via ops/harvest.py (the TPU port of the native
-    engine, tolerance-gated against it) and CheapTrick + mcep as one vmapped
-    program per length bucket.  D4C stays on the native engine (it is not
-    the corpus bottleneck).  Utterances are bucketed by padded length so a
-    handful of compiled shapes covers a corpus.
+    accelerator: Harvest F0 via ops/harvest.py, D4C aperiodicity via
+    ops/d4c.py (both TPU ports of the native engine, tolerance-gated
+    against it) and CheapTrick + mcep as one vmapped program per length
+    bucket.  Utterances are bucketed by padded length so a handful of
+    compiled shapes covers a corpus.
 
     keep_sp_ap=False skips the D4C call and returns sp=ap=None per utterance
     (the preprocess driver's default payload only stores f0/mcc).
     """
-    from dvc_tpu.native import world as native_world
+    from dvc_tpu.ops.d4c import d4c_batch
     from dvc_tpu.ops.harvest import harvest_batch
 
     hop = int(fs * frame_period / 1000.0)
@@ -552,6 +552,11 @@ def world_decompose_batch(wavs: list[np.ndarray], fs: int,
                 num_mcep)
             sp_b = np.asarray(sp_b)
             mc_b = np.asarray(mc_b)
+            ap_b = None
+            if keep_sp_ap:
+                ap_b = np.asarray(d4c_batch(
+                    batch, f0_pad, fs, frame_period,
+                    fft_size=2 * (sp_b.shape[-1] - 1)))
             for r, i in enumerate(chunk):
                 f0 = f0_rows[r].astype(np.float32)
                 n_true = len(f0)
@@ -560,11 +565,7 @@ def world_decompose_batch(wavs: list[np.ndarray], fs: int,
                 sp = ap = None
                 if keep_sp_ap:
                     sp = sp_b[r, :n_true]
-                    ap = np.asarray(
-                        native_world.d4c(wavs[i].astype(np.float32), f0, fs,
-                                         frame_period,
-                                         fft_size=2 * (sp.shape[-1] - 1)),
-                        np.float32)[:n_true]
+                    ap = ap_b[r, :n_true].astype(np.float32)
                 results[i] = (f0, timeaxis, sp, ap, mc_b[r, :n_true])
     return results
 

@@ -90,10 +90,26 @@ def main() -> None:
     for i, u in enumerate(utts):
         batch[i, :len(u)] = u
         lengths[i] = len(u)
-    harvest_batch(batch, lengths, FS).block_until_ready()  # warm/compile
-    dt = best_of(lambda: jax.block_until_ready(
-        harvest_batch(batch, lengths, FS)), args.reps)
+    float(harvest_batch(batch, lengths, FS)[0, 0])  # warm/compile
+    # timing must end with a value fetch: block_until_ready over the axon
+    # tunnel acks before device completion (BASELINE.md)
+    dt = best_of(lambda: float(harvest_batch(batch, lengths, FS)[-1, -1]),
+                 args.reps)
     print(json.dumps({"stage": "harvest_device_batch", "sec_per_audio_sec":
+                      round(dt / total_sec, 4),
+                      "realtime_x": round(total_sec / dt, 2),
+                      "device": jax.devices()[0].platform}))
+
+    # batched accelerator D4C (ops/d4c.py): whole corpus, one program
+    from dvc_tpu.ops.d4c import d4c_batch
+    fmax = max(len(f) for f in f0s)
+    f0_b = np.zeros((len(utts), fmax), np.float32)
+    for i, f in enumerate(f0s):
+        f0_b[i, :len(f)] = f
+    float(d4c_batch(batch, f0_b, FS)[0, 0, 0])  # warm/compile
+    dt = best_of(lambda: float(d4c_batch(batch, f0_b, FS)[-1, -1, -1]),
+                 args.reps)
+    print(json.dumps({"stage": "d4c_device_batch", "sec_per_audio_sec":
                       round(dt / total_sec, 4),
                       "realtime_x": round(total_sec / dt, 2),
                       "device": jax.devices()[0].platform}))
