@@ -41,6 +41,7 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 _EPS = 1e-12
 _FLOOR_F0 = 47.0
@@ -117,6 +118,10 @@ def _masked_window_gather(wav: jax.Array, centers: jax.Array,
     Sample j = center - half + i for i in [0, 2*half], zero outside the
     waveform and outside each frame's own window (native sample()).
     Returns (values, i_grid, wlen) with i_grid the intra-window index.
+
+    This is the general-stride fallback; when frame centers are uniformly
+    spaced, _masked_window_patches below extracts the same rows without a
+    random gather (TPU gathers are the d4c hot spot).
     """
     max_wlen = 2 * max_half + 1
     i = jnp.arange(max_wlen, dtype=jnp.int32)[None, :]
@@ -126,6 +131,38 @@ def _masked_window_gather(wav: jax.Array, centers: jax.Array,
     v = jnp.where(in_wav & (i < wlen),
                   wav[jnp.clip(j, 0, wav.shape[0] - 1)], 0.0)
     return v, i, wlen
+
+
+def _masked_window_patches(wav: jax.Array, n_frames: int, stride: int,
+                           first_center: int, deltas: jax.Array,
+                           halves: jax.Array, max_half: int, max_delta: int):
+    """Gather-free _masked_window_gather for UNIFORM frame centers.
+
+    Frame f's center is first_center + f*stride + deltas[f] with
+    |deltas| <= max_delta (the centroid's data-dependent +-T0/4 shift).
+    Strided patches of width 2*(max_half+max_delta)+1 are extracted at the
+    static centers (an im2col the TPU executes as coalesced copies), then
+    each frame's window is a per-frame dynamic-slice into its own patch —
+    no random gather anywhere.  Output contract identical to
+    _masked_window_gather."""
+    max_wlen = 2 * max_half + 1
+    lead = max_half + max_delta
+    wide = 2 * lead + 1
+    pad_l = lead - first_center
+    need = (n_frames - 1) * stride + wide
+    w = jnp.pad(wav, (pad_l, max(0, need - wav.shape[0] - pad_l)))
+    patches = lax.conv_general_dilated_patches(
+        w[None, None, :], filter_shape=(wide,), window_strides=(stride,),
+        padding=[(0, 0)])[0]                       # (wide, F_out)
+    patches = jnp.moveaxis(patches, 0, -1)[:n_frames]          # (F, wide)
+    # right-pad so a short window at a far-right delta never clamps the slice
+    patches = jnp.pad(patches, ((0, 0), (0, max_wlen)))
+    start = lead + deltas - halves                             # >= 0
+    rows = jax.vmap(
+        lambda p, s: lax.dynamic_slice(p, (s,), (max_wlen,)))(patches, start)
+    i = jnp.arange(max_wlen, dtype=jnp.int32)[None, :]
+    wlen = (2 * halves + 1)[:, None]
+    return jnp.where(i < wlen, rows, 0.0), i, wlen
 
 
 def _blackman_masked(i: jax.Array, wlen: jax.Array) -> jax.Array:
@@ -154,48 +191,80 @@ def _linear_smooth(arr: jax.Array, w_hz: jax.Array, fs: int,
 
     arr: (F, nf), w_hz: (F,) -> (F, nf).  Window widths are clamped to one
     block (f0 > ~1560 Hz at 16 kHz — far outside the WORLD pitch range).
+
+    Implementation is GATHER-FREE (TPU gathers measured ~2 ms per call here
+    while the whole d4c budget is a few ms): because the query positions
+    are `arange(nf) + c` with c constant per frame, every cumsum read is a
+    per-frame dynamic-slice SHIFT of a contiguous array, and the fractional
+    endpoint weight is a per-frame scalar.  The edge clamp of the native
+    at() is reproduced exactly by zero-padding one block on each side (the
+    clamped cumsum is constant in the padding).  Precision-wise each read
+    is base(block) + within-block prefix; the base terms cancel down to at
+    most two single-block totals, keeping every difference local.
     """
     f_dim, nf = arr.shape
     bsz = _SMOOTH_BLOCK
-    n_blocks = -(-nf // bsz)
     res = fs / fft_d4c
-    w_bins = jnp.clip(w_hz / res, 1.0, float(bsz - 1))[:, None]  # (F, 1)
+    w_bins = jnp.clip(w_hz / res, 1.0, float(bsz - 1))      # (F,)
 
-    padded = jnp.pad(arr, ((0, 0), (0, n_blocks * bsz - nf)))
-    blocks = padded.reshape(f_dim, n_blocks, bsz)
-    local_cs = jnp.concatenate(
-        [jnp.zeros((f_dim, n_blocks, 1), arr.dtype),
-         jnp.cumsum(blocks, axis=-1)], axis=-1)           # (F, nB, bsz+1)
-    totals = local_cs[..., -1]                            # (F, nB)
+    n_blocks = -(-(nf + 2 * bsz) // bsz)
+    ext_len = n_blocks * bsz
+    ext = jnp.pad(arr, ((0, 0), (bsz, ext_len - nf - bsz)))  # zero blocks
+    blocks = ext.reshape(f_dim, n_blocks, bsz)
+    btot = jnp.sum(blocks, axis=-1)                          # (F, nB)
+    # exclusive within-block prefix sums, flattened back to (F, ext_len)
+    cs2 = (jnp.cumsum(blocks, axis=-1) - blocks).reshape(f_dim, ext_len)
+    # btot_exp[j] = total of j's block; shifted reads give btot[block(j)+k]
+    btot_exp = jnp.repeat(btot, bsz, axis=-1)                # (F, ext_len)
 
-    def split(p):
-        """Continuous position -> (block index, interpolated local cumsum)."""
-        p = jnp.clip(p, 0.0, float(nf))
-        b = jnp.minimum((p // bsz).astype(jnp.int32), n_blocks - 1)
-        q = p - b.astype(p.dtype) * bsz
-        i0 = jnp.minimum(jnp.floor(q).astype(jnp.int32), bsz - 1)
-        fr = q - i0
-        flat = b * (bsz + 1) + i0
-        cs_f = local_cs.reshape(f_dim, -1)
-        c0 = jnp.take_along_axis(cs_f, flat, axis=-1)
-        c1 = jnp.take_along_axis(cs_f, flat + 1, axis=-1)
-        return b, c0 * (1.0 - fr) + c1 * fr
+    # global_cs(j) = cs2[j] + base(j // bsz); queries are j = i + k with k
+    # per-frame, so cs2/btot_exp reads are dynamic-slice shifts and the
+    # base() combination reduces to block totals between the endpoints.
+    half = w_bins / 2.0
+    k_hi = jnp.floor(half).astype(jnp.int32)
+    fr_hi = half - k_hi
+    k_lo = jnp.floor(-half).astype(jnp.int32)
+    fr_lo = -half - k_lo
 
-    pos = jnp.arange(nf, dtype=arr.dtype)[None, :]
-    b_lo, l_lo = split(pos - w_bins / 2.0)
-    b_hi, l_hi = split(pos + w_bins / 2.0)
-    tot_lo = jnp.take_along_axis(totals, b_lo, axis=-1)
-    d = jnp.where(b_hi == b_lo, l_hi - l_lo, (tot_lo - l_lo) + l_hi)
-    return d / jnp.maximum(w_bins, 1e-9)
+    def shift(a, k):
+        """(F, ext_len) array, (F,) offsets -> (F, nf) rows a[f, i+k[f]]."""
+        return jax.vmap(
+            lambda row, s: lax.dynamic_slice(row, (s,), (nf,)))(a, bsz + k)
+
+    # four prefix reads (two per endpoint for the fractional interpolation)
+    c_lo0 = shift(cs2, k_lo)
+    c_lo1 = shift(cs2, k_lo + 1)
+    c_hi0 = shift(cs2, k_hi)
+    c_hi1 = shift(cs2, k_hi + 1)
+
+    # block indices of each read position, from static arange + per-frame k
+    i = jnp.arange(nf, dtype=jnp.int32)[None, :]
+    b_of = lambda k: (i + k[:, None] + bsz) // bsz
+    b_lo0 = b_of(k_lo)
+    # block totals needed for the base() deltas: at most two blocks up
+    t0 = shift(btot_exp, k_lo)                     # btot[b_lo0]
+    t1 = shift(btot_exp, k_lo + bsz)               # btot[b_lo0 + 1]
+
+    def delta(b):  # base(b) - base(b_lo0) for b - b_lo0 in {0, 1, 2}
+        d = b - b_lo0
+        return jnp.where(d >= 1, t0, 0.0) + jnp.where(d >= 2, t1, 0.0)
+
+    fr_l = fr_lo[:, None]
+    fr_h = fr_hi[:, None]
+    lo = (c_lo0 + delta(b_lo0)) * (1.0 - fr_l) \
+        + (c_lo1 + delta(b_of(k_lo + 1))) * fr_l
+    hi = (c_hi0 + delta(b_of(k_hi))) * (1.0 - fr_h) \
+        + (c_hi1 + delta(b_of(k_hi + 1))) * fr_h
+    return (hi - lo) / jnp.maximum(w_bins[:, None], 1e-9)
 
 
 def _love_train(plan: _Plan, wav: jax.Array, f0: jax.Array,
-                centers: jax.Array) -> jax.Array:
+                windows_lt) -> jax.Array:
     """(F,) LoveTrain low-band power-ratio score per frame
     (native love_train_frame)."""
     f0v = jnp.maximum(f0, _LOWEST_F0)
     halves = (1.5 * plan.fs / f0v + 0.5).astype(jnp.int32)
-    v, i, wlen = _masked_window_gather(wav, centers, halves, plan.max_half_lt)
+    v, i, wlen = windows_lt(halves)
     w = _blackman_masked(i, wlen)
     re = v * w
     dc = jnp.sum(re, axis=-1) / jnp.maximum(jnp.sum(w, axis=-1), _EPS)
@@ -219,11 +288,28 @@ def _one_utterance(plan: _Plan, frame_period_ms: float, threshold: float,
     # native engine); only the +-T0/4 centroid offsets are data-dependent
     tpos_fs_np = (np.arange(n_frames, dtype=np.float64)
                   * (frame_period_ms / 1000.0) * plan.fs)
-    c_static = jnp.asarray(np.trunc(tpos_fs_np + 0.5).astype(np.int32))
+    c_static_np = np.trunc(tpos_fs_np + 0.5).astype(np.int32)
+    c_static = jnp.asarray(c_static_np)
     tpos_fs = jnp.asarray(tpos_fs_np, jnp.float32)
 
+    # gather-free window extraction when frame centers are uniformly spaced
+    # (integer samples-per-frame — the production 16 kHz / 5 ms case)
+    stride = int(c_static_np[1] - c_static_np[0]) if n_frames > 1 else 1
+    uniform = n_frames > 1 and bool(
+        np.all(np.diff(c_static_np) == stride)) and stride > 0
+    zero_d = jnp.zeros((n_frames,), jnp.int32)
+
+    def windows(deltas, halves, max_half, max_delta):
+        if uniform:
+            return _masked_window_patches(
+                wav, n_frames, stride, int(c_static_np[0]), deltas, halves,
+                max_half, max_delta)
+        return _masked_window_gather(wav, c_static + deltas, halves, max_half)
+
     if threshold > 0.0:
-        score = _love_train(plan, wav, f0, c_static)
+        score = _love_train(
+            plan, wav, f0,
+            lambda halves: windows(zero_d, halves, plan.max_half_lt, 0))
         cf0 = jnp.where((f0 > 0.0) & (score <= threshold), 0.0, f0)
     else:
         cf0 = f0
@@ -235,9 +321,10 @@ def _one_utterance(plan: _Plan, frame_period_ms: float, threshold: float,
 
     # ---- static centroid: Blackman 4*T0 windows at +-T0/4 ------------------
     centroid = jnp.zeros((n_frames, plan.n_freq), jnp.float32)
+    max_delta = int(plan.fs / (4.0 * _FLOOR_F0)) + 2  # |T0/4| shift bound
     for off in (-1.0, 1.0):
-        c = _trunc_round(tpos_fs + off * t0s / 4.0)
-        v, i, wlen = _masked_window_gather(wav, c, halves, plan.max_half_c)
+        deltas = _trunc_round(tpos_fs + off * t0s / 4.0) - c_static
+        v, i, wlen = windows(deltas, halves, plan.max_half_c, max_delta)
         wave = v * _blackman_masked(i, wlen)
         norm = 1.0 / jnp.sqrt(jnp.maximum(
             jnp.sum(wave * wave, axis=-1, keepdims=True), _EPS))
@@ -248,7 +335,7 @@ def _one_utterance(plan: _Plan, frame_period_ms: float, threshold: float,
         centroid = centroid + (s.real * st.real + s.imag * st.imag)
 
     # ---- smoothed power: Hanning 4*T0, width-F0 smoothing ------------------
-    v, i, wlen = _masked_window_gather(wav, c_static, halves, plan.max_half_c)
+    v, i, wlen = windows(zero_d, halves, plan.max_half_c, 0)
     han = 0.5 - 0.5 * jnp.cos(
         2 * np.pi * i / jnp.maximum(wlen - 1, 1).astype(jnp.float32))
     re = v * jnp.where(i < wlen, han, 0.0)
