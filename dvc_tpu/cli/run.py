@@ -468,14 +468,25 @@ def cmd_convert_world(args) -> int:
     out_dir = os.path.join(args.log_dir, "generation_world",
                            f"{args.src_spk}_to_{args.trg_spk}")
     os.makedirs(out_dir, exist_ok=True)
-    for i in range(min(args.num_utterances, len(src_fps))):
-        src_npz = dict(np.load(src_fps[i]))
-        trg_npz = dict(np.load(trg_fps[rng.choice(len(trg_fps))]))
-        wav = world_convert_utterance(
-            trainer.model, variables, src_npz, trg_npz, trg_stats,
-            {"mean": float(src_logf0["mean"]), "std": float(src_logf0["std"])},
-            {"mean": float(trg_logf0["mean"]), "std": float(trg_logf0["std"])},
+    n = min(args.num_utterances, len(src_fps))
+    src_npzs = [dict(np.load(src_fps[i])) for i in range(n)]
+    trg_npzs = [dict(np.load(trg_fps[rng.choice(len(trg_fps))]))
+                for _ in range(n)]
+    src_lf0 = {"mean": float(src_logf0["mean"]),
+               "std": float(src_logf0["std"])}
+    trg_lf0 = {"mean": float(trg_logf0["mean"]),
+               "std": float(trg_logf0["std"])}
+    if getattr(args, "synth", "native") == "device":
+        from dvc_tpu.convert.world_conversion import world_convert_corpus
+        wavs = world_convert_corpus(
+            trainer.model, variables, src_npzs, trg_npzs, trg_stats,
+            src_lf0, trg_lf0, frames=args.samples_length)
+    else:
+        wavs = [world_convert_utterance(
+            trainer.model, variables, s, t, trg_stats, src_lf0, trg_lf0,
             frames=args.samples_length)
+            for s, t in zip(src_npzs, trg_npzs)]
+    for i, wav in enumerate(wavs):
         utt = os.path.splitext(os.path.basename(src_fps[i]))[0]
         out = os.path.join(
             out_dir, f"convert_{args.src_spk}_to_{args.trg_spk}_{utt}.wav")
@@ -678,6 +689,10 @@ def main(argv=None) -> int:
     p.add_argument("--src_spk", required=True)
     p.add_argument("--trg_spk", required=True)
     p.add_argument("--num_utterances", type=int, default=2)
+    p.add_argument("--synth", choices=["native", "device"], default="native",
+                   help="native: WORLD-faithful pulse synthesis per "
+                        "utterance; device: whole corpus in bucketed "
+                        "vmapped programs (ops/world.synthesize_batch)")
     p.set_defaults(fn=cmd_convert_world)
 
     p = sub.add_parser("embed")

@@ -55,21 +55,13 @@ def convert_mcc(model, variables, src_norm_mc: np.ndarray,
     return np.asarray(unchunk_mel(converted))
 
 
-def world_convert_utterance(model, variables, src_npz: dict, trg_npz: dict,
-                            trg_stats: dict,
-                            src_logf0_stats: dict, trg_logf0_stats: dict,
-                            fs: int = 16_000, frame_period: float = 5.0,
-                            frames: int = 128) -> np.ndarray:
-    """Full WORLD-path conversion of one utterance.
-
-    src_npz / trg_npz: dicts with keys f0, normalized_mc (T, n_mcep) — the
-    data/world_preprocess.py contract.  The TARGET utterance supplies the
-    style latent for the swap (latent-swap semantics of reference
-    model/variational_base_vae.py:277-296: target style + source content);
-    trg_stats: {"mean", "std"} mcep stats of the TARGET speaker ((n_mcep, 1)
-    as stored); *_logf0_stats: {"mean", "std"} scalars.  Returns the
-    synthesized waveform.
-    """
+def _convert_features(model, variables, src_npz: dict, trg_npz: dict,
+                      trg_stats: dict, src_logf0_stats: dict,
+                      trg_logf0_stats: dict, fs: int,
+                      frames: int) -> tuple[np.ndarray, np.ndarray,
+                                            np.ndarray]:
+    """Steps 1-4 of the conversion (latent swap, de-normalize, mc2sp,
+    pitch transform): returns (f0_conv, sp, ap) ready for synthesis."""
     src_f0 = np.asarray(src_npz["f0"])
     src_norm = np.asarray(src_npz["normalized_mc"]).T  # (n_mcep, T)
     trg_norm = np.asarray(trg_npz["normalized_mc"]).T  # (n_mcep, T')
@@ -94,10 +86,57 @@ def world_convert_utterance(model, variables, src_npz: dict, trg_npz: dict,
             src_f0[voiced], src_logf0_stats["mean"], src_logf0_stats["std"],
             trg_logf0_stats["mean"], trg_logf0_stats["std"])
 
-    # 5. aperiodicity (re-estimated flat for converted speech) + synthesis
+    # aperiodicity (re-estimated flat for converted speech)
     ap = np.full((t, sp.shape[1]), 0.2, np.float32)
-    ap[~voiced] = 1.0 - 1e-12
-    wav = world_speech_synthesis(f0_conv[:t], sp[:t], ap, fs, frame_period)
+    ap[~voiced[:t]] = 1.0 - 1e-12
+    return f0_conv[:t], sp[:t], ap
+
+
+def _peak_normalize(wav: np.ndarray) -> np.ndarray:
     wav = np.asarray(wav)
     peak = np.abs(wav).max()
     return wav / peak * 0.95 if peak > 1e-8 else wav
+
+
+def world_convert_utterance(model, variables, src_npz: dict, trg_npz: dict,
+                            trg_stats: dict,
+                            src_logf0_stats: dict, trg_logf0_stats: dict,
+                            fs: int = 16_000, frame_period: float = 5.0,
+                            frames: int = 128) -> np.ndarray:
+    """Full WORLD-path conversion of one utterance.
+
+    src_npz / trg_npz: dicts with keys f0, normalized_mc (T, n_mcep) — the
+    data/world_preprocess.py contract.  The TARGET utterance supplies the
+    style latent for the swap (latent-swap semantics of reference
+    model/variational_base_vae.py:277-296: target style + source content);
+    trg_stats: {"mean", "std"} mcep stats of the TARGET speaker ((n_mcep, 1)
+    as stored); *_logf0_stats: {"mean", "std"} scalars.  Returns the
+    synthesized waveform.
+    """
+    f0_conv, sp, ap = _convert_features(
+        model, variables, src_npz, trg_npz, trg_stats, src_logf0_stats,
+        trg_logf0_stats, fs, frames)
+    wav = world_speech_synthesis(f0_conv, sp, ap, fs, frame_period)
+    return _peak_normalize(wav)
+
+
+def world_convert_corpus(model, variables, src_npzs: list, trg_npzs: list,
+                         trg_stats: dict, src_logf0_stats: dict,
+                         trg_logf0_stats: dict, fs: int = 16_000,
+                         frame_period: float = 5.0,
+                         frames: int = 128) -> list:
+    """Corpus-throughput variant of world_convert_utterance: the feature
+    conversion runs per utterance (steps 1-4, identical numerics), then ALL
+    waveforms synthesize in bucketed device batches via
+    ops/world.synthesize_batch — the reference's per-utterance
+    pyworld.synthesize loop (WORLD_processing.py:99-106) collapsed into a
+    handful of vmapped programs.  src_npzs[i] converts against trg_npzs[i].
+    """
+    from dvc_tpu.ops.world import synthesize_batch
+
+    feats = [_convert_features(model, variables, s, t, trg_stats,
+                               src_logf0_stats, trg_logf0_stats, fs, frames)
+             for s, t in zip(src_npzs, trg_npzs)]
+    wavs = synthesize_batch([f[0] for f in feats], [f[1] for f in feats],
+                            [f[2] for f in feats], fs, frame_period)
+    return [_peak_normalize(w) for w in wavs]

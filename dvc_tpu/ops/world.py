@@ -345,20 +345,9 @@ def _minimum_phase_ir(sp: jax.Array, fft_size: int) -> jax.Array:
     return jnp.fft.ifft(spec, axis=-1).real
 
 
-def synthesize(f0: jax.Array, sp: jax.Array, ap: jax.Array, fs: int = 16_000,
-               frame_period: float = 5.0, seed: int = 0) -> jax.Array:
-    """WORLD-style synthesis, batched on-device (role of pyworld.synthesize,
-    WORLD_processing.py:99-106; the host-side pulse-by-pulse faithful path is
-    native/dvc_world.cpp:dvc_synthesis, used by world_speech_synthesis when
-    the C++ engine is available).
-
-    Per-bin aperiodicity-weighted mixed excitation, the WORLD power split:
-    the pulse train (integrated-F0 positions, sqrt(T0) amplitude) is shaped
-    by the minimum-phase response of the periodic envelope sp*(1-ap^2) and
-    white noise by that of the aperiodic envelope sp*ap^2 (full sp when
-    unvoiced); both are overlap-added at the frame rate.  All frames run as
-    one device batch — no per-pulse host loop.
-    """
+def _synthesize_core(f0: jax.Array, sp: jax.Array, ap: jax.Array,
+                     key: jax.Array, fs: int,
+                     frame_period: float) -> jax.Array:
     n_frames, n_freq = sp.shape
     fft_size = 2 * (n_freq - 1)
     hop = int(fs * frame_period / 1000.0)
@@ -373,7 +362,7 @@ def synthesize(f0: jax.Array, sp: jax.Array, ap: jax.Array, fs: int = 16_000,
     # scale pulses by sqrt(T0) for unit power per period
     t0 = jnp.repeat(jnp.where(f0 > 0, fs / jnp.maximum(f0_safe, 1.0), 0.0), hop)
     pulse_sig = pulse.astype(jnp.float32) * jnp.sqrt(jnp.maximum(t0, 0.0))
-    noise = jax.random.normal(jax.random.PRNGKey(seed), (total,))
+    noise = jax.random.normal(key, (total,))
 
     # per-bin power split (d4c aperiodicity is an amplitude ratio)
     voiced = (f0 > 0)[:, None]
@@ -401,6 +390,97 @@ def synthesize(f0: jax.Array, sp: jax.Array, ap: jax.Array, fs: int = 16_000,
     scat = starts[:, None] + np.arange(2 * fft_size)[None, :]
     out = out.at[scat.reshape(-1)].add(seg_out.reshape(-1))
     return out[:total].astype(jnp.float32)
+
+
+def synthesize(f0: jax.Array, sp: jax.Array, ap: jax.Array, fs: int = 16_000,
+               frame_period: float = 5.0, seed: int = 0) -> jax.Array:
+    """WORLD-style synthesis, batched on-device (role of pyworld.synthesize,
+    WORLD_processing.py:99-106; the host-side pulse-by-pulse faithful path is
+    native/dvc_world.cpp:dvc_synthesis, used by world_speech_synthesis when
+    the C++ engine is available).
+
+    Per-bin aperiodicity-weighted mixed excitation, the WORLD power split:
+    the pulse train (integrated-F0 positions, sqrt(T0) amplitude) is shaped
+    by the minimum-phase response of the periodic envelope sp*(1-ap^2) and
+    white noise by that of the aperiodic envelope sp*ap^2 (full sp when
+    unvoiced); both are overlap-added at the frame rate.  All frames run as
+    one device batch — no per-pulse host loop.
+    """
+    return _synthesize_core(f0, sp, ap, jax.random.PRNGKey(seed),
+                            fs, frame_period)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _synth_batch_jit(f0: jax.Array, sp: jax.Array, ap: jax.Array,
+                     keys: jax.Array, fs: int,
+                     frame_period: float) -> jax.Array:
+    return jax.vmap(
+        lambda a, b, c, k: _synthesize_core(a, b, c, k, fs, frame_period)
+    )(f0, sp, ap, keys)
+
+
+def synthesize_batch(f0s: list, sps: list, aps: list, fs: int = 16_000,
+                     frame_period: float = 5.0, pad_to_frames: int = 256,
+                     max_batch: int = 8, seed: int = 0) -> list:
+    """Corpus-scale WORLD synthesis: many utterances per device call.
+
+    The throughput counterpart of `synthesize` the way ops/harvest.py /
+    ops/d4c.py are for the analysis stages (reference cost center:
+    pyworld.synthesize called per utterance in WORLD_processing.py:99-106).
+    Utterances are bucketed by padded frame count so a handful of compiled
+    shapes covers a corpus, then each bucket runs as one vmapped program.
+
+    Padding is silent by construction: padded frames carry f0 = 0 (no
+    pulses), sp = 1e-30 (the noise response underflows to silence) and they
+    overlap-add strictly past the true frames, so each cropped row equals a
+    single `_synthesize_core` call on the same padded shape (to codegen
+    ULPs).  Per-utterance noise keys are fold_in(seed, list index), so
+    chunking a bucket into max_batch pieces cannot change any row (the
+    noise DRAW still depends on the padded length, i.e. on pad_to_frames).
+
+    Returns a list of float32 waveforms, each len(f0s[i]) * hop samples
+    (the `world_speech_synthesis` length contract).
+    """
+    if not (len(f0s) == len(sps) == len(aps)):
+        raise ValueError("f0s/sps/aps must be the same length")
+    if not f0s:
+        return []
+    hop = int(fs * frame_period / 1000.0)
+    n_freq = int(np.asarray(sps[0]).shape[-1])
+    root = jax.random.PRNGKey(seed)
+
+    results: list = [None] * len(f0s)
+    buckets: dict[int, list[int]] = {}
+    for i, f0 in enumerate(f0s):
+        n = len(f0)
+        if n == 0:
+            raise ValueError(f"utterance {i}: empty f0 track")
+        if np.asarray(sps[i]).shape != (n, n_freq) \
+                or np.asarray(aps[i]).shape != (n, n_freq):
+            raise ValueError(f"utterance {i}: sp/ap shape mismatch")
+        bucket = int(np.ceil(n / pad_to_frames)) * pad_to_frames
+        buckets.setdefault(bucket, []).append(i)
+
+    for bucket, idxs in sorted(buckets.items()):
+        for lo in range(0, len(idxs), max_batch):
+            chunk = idxs[lo:lo + max_batch]
+            b = len(chunk)
+            f0_b = np.zeros((b, bucket), np.float32)
+            sp_b = np.full((b, bucket, n_freq), 1e-30, np.float32)
+            ap_b = np.full((b, bucket, n_freq), 1.0 - 1e-12, np.float32)
+            keys = np.empty((b, 2), np.uint32)
+            for r, i in enumerate(chunk):
+                n = len(f0s[i])
+                f0_b[r, :n] = np.asarray(f0s[i], np.float32)
+                sp_b[r, :n] = np.asarray(sps[i], np.float32)
+                ap_b[r, :n] = np.asarray(aps[i], np.float32)
+                keys[r] = np.asarray(jax.random.fold_in(root, i))
+            out = np.asarray(_synth_batch_jit(
+                jnp.asarray(f0_b), jnp.asarray(sp_b), jnp.asarray(ap_b),
+                jnp.asarray(keys), fs, float(frame_period)))
+            for r, i in enumerate(chunk):
+                results[i] = out[r, :len(f0s[i]) * hop]
+    return results
 
 
 # --- top-level parity wrappers ----------------------------------------------

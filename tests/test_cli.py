@@ -131,6 +131,16 @@ class TestWorldCliFlow:
         wavs = [f for f in os.listdir(gen) if f.endswith(".wav")]
         assert wavs
 
+        # corpus-batched device synthesis takes the same flags
+        assert main(["convert-world", "--dataset_fp", npz,
+                     "--log_dir", results, "--features", "mcc",
+                     "--num_mcep", "24", "--samples_length", "16",
+                     "--src_spk", "p225", "--trg_spk", "p226",
+                     "--num_utterances", "1", "--synth", "device",
+                     "--compute-dtype", "float32"]) == 0
+        wavs = [f for f in os.listdir(gen) if f.endswith(".wav")]
+        assert wavs
+
 
 class TestEmbedCli:
     def test_train_speaker_then_embed(self, fake_vctk, tmp_path):

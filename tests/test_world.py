@@ -14,6 +14,7 @@ from dvc_tpu.ops.world import (
     sp2mc,
     spectral_envelope,
     synthesize,
+    synthesize_batch,
 )
 
 
@@ -125,6 +126,76 @@ class TestSynthesis:
         assert out.shape[0] == f0.shape[0] * 80
         assert np.isfinite(np.asarray(out)).all()
         assert float(jnp.std(out)) > 0
+
+
+class TestSynthesizeBatch:
+    """Corpus-batched device synthesis (ops/world.synthesize_batch)."""
+
+    def _corpus(self, lengths=(100, 230, 300), n_freq=513, seed=0):
+        rng = np.random.default_rng(seed)
+        f0s, sps, aps = [], [], []
+        for n in lengths:
+            f0s.append(np.where(rng.random(n) > 0.3, 150.0, 0.0)
+                       .astype(np.float32))
+            sps.append(rng.random((n, n_freq)).astype(np.float32) * 1e-4
+                       + 1e-6)
+            aps.append(np.clip(rng.random((n, n_freq)), 0.01, 0.99)
+                       .astype(np.float32))
+        return f0s, sps, aps
+
+    def test_length_contract_and_finite(self):
+        f0s, sps, aps = self._corpus()
+        outs = synthesize_batch(f0s, sps, aps, pad_to_frames=256, max_batch=2)
+        assert len(outs) == 3
+        for f0, out in zip(f0s, outs):
+            assert out.shape == (len(f0) * 80,)
+            assert np.isfinite(out).all() and out.std() > 0
+
+    def test_matches_single_padded_call(self):
+        """Each cropped row == one _synthesize_core call on the same padded
+        shape with the same fold_in key — bucketing adds nothing.  (Tight
+        allclose, not bit-equal: the jitted batch may come from the
+        persistent compile cache built with different codegen flags than
+        the eager single call, which shifts ULPs.)"""
+        import jax
+
+        from dvc_tpu.ops.world import _synthesize_core
+
+        f0s, sps, aps = self._corpus()
+        outs = synthesize_batch(f0s, sps, aps, pad_to_frames=256, max_batch=2)
+        i, pad, n_freq = 1, 512, 513
+        n = len(f0s[i])
+        f0p = np.zeros(pad, np.float32)
+        f0p[:n] = f0s[i]
+        spp = np.full((pad, n_freq), 1e-30, np.float32)
+        spp[:n] = sps[i]
+        app = np.full((pad, n_freq), 1.0 - 1e-12, np.float32)
+        app[:n] = aps[i]
+        key = jax.random.fold_in(jax.random.PRNGKey(0), i)
+        single = np.asarray(_synthesize_core(
+            jnp.asarray(f0p), jnp.asarray(spp), jnp.asarray(app), key,
+            16000, 5.0))[:n * 80]
+        np.testing.assert_allclose(single, outs[i], atol=1e-6)
+
+    def test_chunking_invariant(self):
+        """Splitting a bucket into different max_batch chunks cannot change
+        any row (per-utterance fold_in keys, same padded shape; allclose
+        because B=4 and B=1 compile to different programs)."""
+        f0s, sps, aps = self._corpus(lengths=(100, 120, 230, 250))
+        whole = synthesize_batch(f0s, sps, aps, pad_to_frames=256,
+                                 max_batch=8)
+        split = synthesize_batch(f0s, sps, aps, pad_to_frames=256,
+                                 max_batch=1)
+        for a, b in zip(whole, split):
+            np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_validates_shapes(self):
+        f0s, sps, aps = self._corpus()
+        with pytest.raises(ValueError):
+            synthesize_batch(f0s[:2], sps, aps)
+        bad_sp = [s[:, :-1] for s in sps]
+        with pytest.raises(ValueError):
+            synthesize_batch(f0s, [sps[0], bad_sp[1], sps[2]], aps)
 
 
 class TestPitchConversion:

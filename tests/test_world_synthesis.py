@@ -209,6 +209,30 @@ class TestDispatchAndJaxFallback:
         assert f0_med < 0.02, f"median F0 error {f0_med:.4f}"
         assert mcd < 3.0, f"JAX-path round-trip MCD {mcd:.2f} dB"
 
+    def test_batch_roundtrip(self):
+        """synthesize_batch holds the same fidelity gates per utterance as
+        the single-utterance JAX path, across mixed lengths/pitches."""
+        from dvc_tpu.ops.world import synthesize_batch
+
+        wavs = [make_vowel(130.0, n_sec=1.2), make_vowel(180.0, n_sec=1.6),
+                make_vowel(220.0, n_sec=0.9)]
+        analyzed = [analyze(w) for w in wavs]
+        outs = synthesize_batch([a[0] for a in analyzed],
+                                [a[1] for a in analyzed],
+                                [a[2] for a in analyzed], FS)
+        for (f0, sp, ap, mc), y in zip(analyzed, outs):
+            assert len(y) == len(f0) * 80
+            f0r, _, _, mcr = analyze(np.asarray(y, np.float32))
+            m = min(len(mc), len(mcr))
+            vb = (f0[:m] > 0) & (f0r[:m] > 0)
+            assert vb.sum() > 50
+            f0_err = np.abs(f0r[:m][vb] - f0[:m][vb]) / f0[:m][vb]
+            diff = mc[:m][vb][:, 1:] - mcr[:m][vb][:, 1:]
+            mcd = float(np.mean(10 / np.log(10)
+                                * np.sqrt(2 * np.sum(diff**2, 1))))
+            assert float(np.median(f0_err)) < 0.02
+            assert mcd < 3.0, f"batched round-trip MCD {mcd:.2f} dB"
+
     def test_jax_unvoiced_noise_shape(self):
         import jax.numpy as jnp
 

@@ -127,6 +127,25 @@ def main() -> None:
                       round(dt / total_sec, 4),
                       "realtime_x": round(total_sec / dt, 2)}))
 
+    # batched accelerator synthesis (ops/world.synthesize_batch): whole
+    # corpus in bucketed vmapped programs
+    from dvc_tpu.ops.world import synthesize_batch
+    f0_list = [f0[:len(sp)].astype(np.float32) for f0, sp in zip(f0s, sps)]
+    sp_list = [sp.astype(np.float32) for sp in sps]
+    ap_list = [ap[:len(sp)].astype(np.float32)
+               for ap, sp in zip(aps, sps)]
+    synthesize_batch(f0_list, sp_list, ap_list, FS)  # warm/compile
+
+    def run_synth_batch() -> None:
+        outs = synthesize_batch(f0_list, sp_list, ap_list, FS)
+        float(outs[-1][-1])  # value fetch closes the timed region
+
+    dt = best_of(run_synth_batch, args.reps)
+    print(json.dumps({"stage": "synthesis_device_batch", "sec_per_audio_sec":
+                      round(dt / total_sec, 4),
+                      "realtime_x": round(total_sec / dt, 2),
+                      "device": jax.devices()[0].platform}))
+
 
 if __name__ == "__main__":
     main()
