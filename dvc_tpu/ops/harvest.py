@@ -10,10 +10,13 @@ whole BATCH of utterances runs as one XLA program:
                          compensation baked into the spectrum as a phase
                          ramp), one batched irfft per channel block
   * event trains      -> the four zero-crossing/peak/dip interval tracks are
-                         kept in per-SAMPLE sparse form; consecutive-event
-                         pairing and linear interpolation onto the 1 ms
-                         candidate grid use cummax/cummin next/prev-event
-                         indices + searchsorted (no dynamic shapes, no sort)
+                         kept in per-SAMPLE dense form; consecutive-event
+                         pairing uses a suffix-min of event locs, bracketing
+                         onto the 1 ms candidate grid uses associative scans
+                         + a bounded lookback window of strided im2col
+                         patches — NO gathers or searchsorted anywhere (TPU
+                         random gathers measured ~100x slower than the same
+                         data movement as patches; round-3 ROADMAP record)
   * candidate merge   -> lax.scan over channels in index order (same dedup
                          semantics as the native serial merge)
   * refinement        -> harmonic-weighted instantaneous frequency (Flanagan)
@@ -218,6 +221,167 @@ def _interp_track_grid(ev: jax.Array, tm: jax.Array, fv: jax.Array,
     return jnp.where(valid, v, 0.0)
 
 
+# Gather-free fast path (TPU gathers were the measured harvest hot spot —
+# see the round-3 profiling record in ROADMAP.md).  Track fields are kept in
+# per-SAMPLE dense form; bracketing track points for each grid time come
+# from a bounded lookback window (strided im2col patches) plus a strided
+# read of next-track arrays built with log-depth associative scans.
+
+_NEG = jnp.float32(-1e30)   # "no track here" sentinel (finite: the patch
+_POS = jnp.float32(1e30)    # extraction is a conv, and inf*0 would be NaN)
+_LOOKBACK = 256  # samples of tm lookahead covered exactly; a track's tm sits
+# ~one ring interval (afs/bf0 ~ 110 samples at the lowest channel) ahead of
+# its position, so 256 covers every in-band interval.  Longer intervals only
+# arise across silence gaps, where interpolated candidates fail the band /
+# floor checks anyway.
+
+
+def _track_fields(cross: jax.Array, loc: jax.Array):
+    """Per-sample track fields, gather-free.
+
+    Same contract as _interval_track, but tm is sentinel-encoded (_NEG where
+    there is no track) instead of carrying a separate ev mask.  Works because
+    event locs are non-decreasing in position: the suffix-min of event locs
+    IS the next event's loc.
+    """
+    ax = cross.ndim - 1
+    nl = jnp.flip(lax.cummin(jnp.flip(jnp.where(cross, loc, _POS), ax),
+                             axis=ax), ax)
+    nl_after = jnp.concatenate(
+        [nl[..., 1:], jnp.full_like(nl[..., :1], _POS)], -1)
+    ev = cross & (nl_after < _POS / 2)
+    tm = jnp.where(ev, 0.5 * (loc + nl_after), _NEG)
+    fv = 1.0 / jnp.maximum(nl_after - loc, 1e-12)
+    return tm, fv
+
+
+def _window_patches_1d(x: jax.Array, width: int, stride: int,
+                       n_out: int) -> jax.Array:
+    """(R, L) -> (R, n_out, width) strided windows, window g starting at
+    g*stride (an im2col the TPU runs as coalesced copies, not a gather)."""
+    need = (n_out - 1) * stride + width
+    if x.shape[-1] < need:
+        x = jnp.pad(x, ((0, 0), (0, need - x.shape[-1])))
+    p = lax.conv_general_dilated_patches(
+        x[:, None, :], filter_shape=(width,), window_strides=(stride,),
+        padding=[(0, 0)])                                  # (R, width, F)
+    return jnp.moveaxis(p, 1, -1)[:, :n_out]
+
+
+_GRID_TILE = 512  # grid frames per window-patch chunk (bounds live memory)
+
+
+def _grid_eval_uniform(tm: jax.Array, fv: jax.Array, stride: int,
+                       grid: jax.Array) -> jax.Array:
+    """Gather-free _interp_track_grid for a uniform grid with integer sample
+    stride.  tm/fv: (R, E) per-sample track fields from _track_fields;
+    grid: (G,) query times with grid[g] at sample g*stride.  Returns (R, G).
+
+    The bracketing pair for grid time t is (j1, j2) with j2 the first track
+    whose tm >= t and j1 its predecessor.  tm looks ahead of its position by
+    at most ~one event interval, so j2 lives either in a _LOOKBACK-sample
+    window behind the grid sample (searched with masked argmax over strided
+    patches, processed in _GRID_TILE chunks so long utterances don't
+    materialize (R, G, _LOOKBACK) at once) or is the first track at-or-after
+    it (a backward associative scan read at static strided positions).  Each
+    track carries its predecessor's (tm, fv) — paired by a forward scan — so
+    j1 needs no second search.
+    """
+    g = grid.shape[0]
+
+    # exclusive predecessor pair at every position (rightmost-valid scan)
+    def comb(a, b):
+        at, af = a
+        bt, bf = b
+        pick = bt > _NEG / 2
+        return (jnp.where(pick, bt, at), jnp.where(pick, bf, af))
+
+    ptm_i, pfv_i = lax.associative_scan(comb, (tm, fv), axis=-1)
+    neg = jnp.full_like(tm[..., :1], _NEG)
+    ptm = jnp.concatenate([neg, ptm_i[..., :-1]], -1)
+    pfv = jnp.concatenate([jnp.zeros_like(fv[..., :1]), pfv_i[..., :-1]], -1)
+
+    # next-track quadruple at-or-after every position (leftmost-valid scan:
+    # rightmost-valid on the flipped axis)
+    def comb4(a, b):
+        pick = b[0] > _NEG / 2
+        return tuple(jnp.where(pick, bb, aa) for aa, bb in zip(a, b))
+
+    ztm, zfv, zptm, zpfv = (
+        jnp.flip(x, -1) for x in lax.associative_scan(
+            comb4, tuple(jnp.flip(x, -1) for x in (tm, fv, ptm, pfv)),
+            axis=-1))
+
+    # strided static reads of the next-track arrays at the grid samples
+    need = (g - 1) * stride + 1
+
+    def stride_read(x, fill):
+        if x.shape[-1] < need:
+            x = jnp.concatenate(
+                [x, jnp.full(x.shape[:-1] + (need - x.shape[-1],), fill,
+                             x.dtype)], -1)
+        return x[..., ::stride][..., :g]
+
+    ztm_g = stride_read(ztm, _NEG)
+    zfv_g = stride_read(zfv, 0.0)
+    zptm_g = stride_read(zptm, _NEG)
+    zpfv_g = stride_read(zpfv, 0.0)
+
+    # lookback window [g*stride - D, g*stride - 1] over the raw track
+    # fields, in grid chunks of _GRID_TILE frames
+    d = _LOOKBACK
+    r = tm.shape[0]
+    gp = -(-g // _GRID_TILE) * _GRID_TILE
+    n_tiles = gp // _GRID_TILE
+    span = d + (_GRID_TILE - 1) * stride + 1
+    total = d + (gp - 1) * stride + 1 + stride
+
+    def pad_to(x, fill):
+        return jnp.pad(x, ((0, 0), (d, max(0, total - d - x.shape[-1]))),
+                       constant_values=fill)
+
+    tm_p = pad_to(tm, _NEG)
+    fv_p = pad_to(fv, 0.0)
+    ptm_p = pad_to(ptm, _NEG)
+    pfv_p = pad_to(pfv, 0.0)
+    grid_p = jnp.pad(grid, (0, gp - g))
+
+    def tile_fn(it):
+        start = it * _GRID_TILE * stride
+
+        def win(x):
+            seg = lax.dynamic_slice(x, (0, start), (r, span))
+            return _window_patches_1d(seg, d, stride, _GRID_TILE)
+
+        tm_w = win(tm_p)
+        t = lax.dynamic_slice(grid_p, (it * _GRID_TILE,), (_GRID_TILE,))
+        mask = tm_w >= t[None, :, None]  # _NEG never passes; first True =
+        found = jnp.any(mask, axis=-1)   # first track
+        first = jnp.argmax(mask, axis=-1)
+        ohf = ((jnp.arange(d)[None, None, :] == first[..., None])
+               & found[..., None]).astype(tm.dtype)
+        return (found,
+                jnp.sum(tm_w * ohf, -1), jnp.sum(win(fv_p) * ohf, -1),
+                jnp.sum(win(ptm_p) * ohf, -1), jnp.sum(win(pfv_p) * ohf, -1))
+
+    tiles = lax.map(tile_fn, jnp.arange(n_tiles))
+
+    def stitch(x):  # (n_tiles, R, T) -> (R, G)
+        return jnp.moveaxis(x, 0, 1).reshape(r, gp)[:, :g]
+
+    found = stitch(tiles[0])
+    tm2 = jnp.where(found, stitch(tiles[1]), ztm_g)
+    fv2 = jnp.where(found, stitch(tiles[2]), zfv_g)
+    tm1 = jnp.where(found, stitch(tiles[3]), zptm_g)
+    fv1 = jnp.where(found, stitch(tiles[4]), zpfv_g)
+
+    valid = (tm2 > _NEG / 2) & (tm2 < _POS / 2) & (tm1 > _NEG / 2)
+    tq = grid[None, :]
+    a = jnp.where(tm2 > tm1, (tq - tm1) / jnp.maximum(tm2 - tm1, 1e-12), 0.0)
+    v = fv1 * (1.0 - a) + fv2 * a
+    return jnp.where(valid, v, 0.0)
+
+
 def _channel_candidates(filtered: jax.Array, bf0: jax.Array, afs: float,
                         grid: jax.Array, f0_floor: float,
                         f0_ceil: float) -> jax.Array:
@@ -243,14 +407,30 @@ def _channel_candidates(filtered: jax.Array, bf0: jax.Array, afs: float,
         ((da > 0.0) & (db <= 0.0), loc_d),  # peaks
         ((da < 0.0) & (db >= 0.0), loc_d),  # dips
     )
-    interp = _interp_track_grid
-    for _ in range(filtered.ndim - 1):  # vmap over leading (CB, B) dims
-        interp = jax.vmap(interp, in_axes=(0, 0, 0, None))
-    vs = []
-    for cr, loc in crosses:
-        ev, tm, fv = _interval_track(cr, loc)
-        vs.append(interp(ev, tm, fv, grid))
-    v = jnp.stack(vs, axis=-1)  # (CB, B, G, 4)
+    stride_f = CAND_PERIOD * afs
+    stride = int(round(stride_f))
+    if abs(stride_f - stride) < 1e-9:
+        # gather-free fast path: stack the four trains on the row axis so
+        # one scan/patch pass covers all of them
+        cb, bsz = s.shape[0], s.shape[1]
+        tms, fvs = [], []
+        for cr, loc in crosses:
+            tmx, fvx = _track_fields(cr, loc)
+            tms.append(tmx)
+            fvs.append(fvx)
+        tm_all = jnp.stack(tms).reshape(4 * cb * bsz, -1)
+        fv_all = jnp.stack(fvs).reshape(4 * cb * bsz, -1)
+        v = _grid_eval_uniform(tm_all, fv_all, stride, grid)
+        v = jnp.moveaxis(v.reshape(4, cb, bsz, -1), 0, -1)  # (CB, B, G, 4)
+    else:
+        interp = _interp_track_grid
+        for _ in range(filtered.ndim - 1):  # vmap over leading (CB, B) dims
+            interp = jax.vmap(interp, in_axes=(0, 0, 0, None))
+        vs = []
+        for cr, loc in crosses:
+            ev, tm, fv = _interval_track(cr, loc)
+            vs.append(interp(ev, tm, fv, grid))
+        v = jnp.stack(vs, axis=-1)  # (CB, B, G, 4)
 
     ok = jnp.all(v > 0.0, axis=-1)
     mean = jnp.mean(v, axis=-1)
@@ -290,6 +470,34 @@ def _merge_channels(cols: jax.Array, max_c: int):
 
 # ------------------------------------------------------------ refinement ----
 
+def _onehot_pick(vals: jax.Array, idx: jax.Array, k_size: int,
+                 tile: int = 16) -> jax.Array:
+    """(B, G, K, A) values, (B, G, P) bin indices -> (B, G, P, A) picks.
+
+    A G-tiled one-hot matmul: the (tile, P, K) one-hot lives only for one
+    lax.map step, and the MXU does the pick — measured ~5x faster than
+    take_along_axis on TPU for harvest's refine shapes (random scalar
+    gathers are the pathological case for the TPU gather engine).
+    """
+    b, g, k, a = vals.shape
+    p = idx.shape[-1]
+    gp = -(-g // tile) * tile
+    if gp != g:
+        vals = jnp.pad(vals, ((0, 0), (0, gp - g), (0, 0), (0, 0)))
+        idx = jnp.pad(idx, ((0, 0), (0, gp - g), (0, 0)))
+    vt = jnp.moveaxis(vals.reshape(b, gp // tile, tile, k, a), 1, 0)
+    it = jnp.moveaxis(idx.reshape(b, gp // tile, tile, p), 1, 0)
+
+    def tile_fn(args):
+        v, ix = args  # (b, tile, K, A), (b, tile, P)
+        oh = (ix[..., None] == jnp.arange(k_size, dtype=ix.dtype)) \
+            .astype(v.dtype)
+        return jnp.einsum('btpk,btka->btpa', oh, v)
+
+    out = lax.map(tile_fn, (vt, it))
+    return jnp.moveaxis(out, 0, 1).reshape(b, gp, p, a)[:, :g]
+
+
 def _refine(plan: _Plan, y_pad: jax.Array, cand: jax.Array):
     """Harmonic-weighted instantaneous-frequency refinement + score
     (native refine_candidate, dvc_world.cpp:158-280) with the window length
@@ -309,13 +517,25 @@ def _refine(plan: _Plan, y_pad: jax.Array, cand: jax.Array):
     n_harm = jnp.minimum(6, (afs / 2.0 / jnp.maximum(f0, 1e-6)).astype(jnp.int32))
     h = jnp.arange(1, 7, dtype=jnp.float32)  # (6,)
 
+    # uniform-center fast path (stride in samples between refinement
+    # windows); falls back to the index gather when the candidate grid does
+    # not land on integer samples
+    stride_f = CAND_PERIOD * afs
+    stride = int(round(stride_f))
+    uniform = abs(stride_f - stride) < 1e-9
+
     refined = jnp.zeros_like(f0)
     score = jnp.zeros_like(f0)
     for b_i, (half, fft_b, win, dwin) in enumerate(plan.buckets):
         wlen = 2 * half + 1
-        idx = centers[:, None] - half + jnp.arange(wlen)[None, :] \
-            + plan.max_half  # into y_pad
-        seg = y_pad[:, idx]  # (B, G, wlen)
+        if uniform:
+            # im2col strided windows instead of a (B, G, wlen) gather
+            first = plan.max_half - half
+            seg = _window_patches_1d(y_pad[:, first:], wlen, stride, n1)
+        else:
+            idx = centers[:, None] - half + jnp.arange(wlen)[None, :] \
+                + plan.max_half  # into y_pad
+            seg = y_pad[:, idx]  # (B, G, wlen)
         rm = jnp.fft.rfft(seg * jnp.asarray(win), n=fft_b, axis=-1)
         rd = jnp.fft.rfft(seg * jnp.asarray(dwin), n=fft_b, axis=-1)
         freq_res = afs / fft_b
@@ -326,11 +546,17 @@ def _refine(plan: _Plan, y_pad: jax.Array, cand: jax.Array):
         kc = jnp.clip(k, 0, fft_b // 2)
         bb, gg, cc = f0.shape
         flat = kc.reshape(bb, gg, cc * 6)
-        sm = jnp.take_along_axis(rm, flat, axis=-1).reshape(bb, gg, cc, 6)
-        sd = jnp.take_along_axis(rd, flat, axis=-1).reshape(bb, gg, cc, 6)
-        power = jnp.maximum(sm.real ** 2 + sm.imag ** 2, 1e-30)
+        # harmonic-bin sampling: a per-(frame, candidate, harmonic) pick of
+        # 4 scalars (rm/rd real/imag).  take_along_axis here was the single
+        # hottest op in the whole harvest program on TPU; a G-tiled one-hot
+        # matmul is ~5x faster (ROADMAP round-3 record)
+        vals = jnp.stack([rm.real, rm.imag, rd.real, rd.imag], axis=-1)
+        picked = _onehot_pick(vals, flat, fft_b // 2 + 1)
+        picked = picked.reshape(bb, gg, cc, 6, 4)
+        smr, smi, sdr, sdi = (picked[..., j] for j in range(4))
+        power = jnp.maximum(smr ** 2 + smi ** 2, 1e-30)
         amp = jnp.sqrt(power)
-        instf = kc * freq_res + (sd.real * sm.imag - sd.imag * sm.real) \
+        instf = kc * freq_res + (sdr * smi - sdi * smr) \
             / (2.0 * np.pi * power)
         amp = jnp.where(h_ok, amp, 0.0)
         num = jnp.sum(amp * instf, axis=-1)

@@ -83,7 +83,10 @@ class TestStepTimer:
         for _ in range(4):
             t.tick()
             time.sleep(0.005)
-        assert 3 <= t.mean_ms <= 50
+        # upper bound is generous: a loaded 1-core host can stretch a 5 ms
+        # sleep past 60 ms (observed when the suite shares the core with a
+        # benchmark run)
+        assert 3 <= t.mean_ms <= 1000
         assert "ms/step" in t.summary()
 
 
