@@ -239,7 +239,12 @@ def bench_torch_baseline() -> float:
 
 
 def main():
+    # progress markers go to stderr; stdout stays the single JSON line
+    print("bench: jax train-step measurement...", file=sys.stderr, flush=True)
     jax_fps, achieved_tflops, device_kind = bench_jax()
+    print(f"bench: jax done ({jax_fps:.0f} frames/s); torch baseline "
+          f"({'cached' if os.path.exists(CACHE) else 'measuring, minutes on CPU'})...",
+          file=sys.stderr, flush=True)
     try:
         base_fps = bench_torch_baseline()
     except Exception as e:

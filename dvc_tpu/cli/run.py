@@ -616,6 +616,11 @@ def main(argv=None) -> int:
         import jax
         jax.config.update("jax_platforms", platform)
 
+    # persistent XLA compile cache: without it every CLI invocation pays
+    # the full compile again (minutes for the big programs on this host)
+    from dvc_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
+
     parser = argparse.ArgumentParser(prog="dvc_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 

@@ -12,6 +12,26 @@ from __future__ import annotations
 import os
 
 
+def enable_compile_cache(repo_root: str | None = None) -> None:
+    """Point JAX's persistent compilation cache at <repo>/.jax_cache (and
+    prune it past budget).  Safe to call repeatedly; silently no-ops if the
+    config knobs are unavailable.  Every entry point should call this —
+    without it each process pays the full XLA compile (measured 296 s cold
+    for the corpus WORLD-analysis program on this 1-core host, <2 s warm).
+    """
+    import jax
+
+    root = repo_root or os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    cache_dir = os.path.join(root, ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        return
+    prune_compile_cache(cache_dir)
+
+
 def cache_size_bytes(cache_dir: str) -> int:
     total = 0
     for root, _dirs, files in os.walk(cache_dir):

@@ -31,6 +31,9 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from dvc_tpu.native import world as nw  # noqa: E402
+from dvc_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 
 FS = 16000
 
@@ -144,6 +147,24 @@ def main() -> None:
     print(json.dumps({"stage": "synthesis_device_batch", "sec_per_audio_sec":
                       round(dt / total_sec, 4),
                       "realtime_x": round(total_sec / dt, 2),
+                      "device": jax.devices()[0].platform}))
+
+    # end-to-end corpus analysis (harvest + cheaptrick + mcep + d4c), the
+    # `preprocess-world --f0 device` payload path
+    from dvc_tpu.ops.world import world_decompose_batch
+
+    def run_analysis():
+        res = world_decompose_batch(utts, FS, keep_sp_ap=True)
+        float(res[-1][4][-1, -1])  # value fetch closes the timed region
+
+    run_analysis()  # warm/compile
+    dt = best_of(run_analysis, args.reps)
+    # note: includes the sp/ap/mcc downloads to host (~20 MB here), which
+    # dominate over the axon tunnel; device compute is the stage sum above
+    print(json.dumps({"stage": "analysis_device_end_to_end",
+                      "sec_per_audio_sec": round(dt / total_sec, 4),
+                      "realtime_x": round(total_sec / dt, 2),
+                      "includes_host_transfers": True,
                       "device": jax.devices()[0].platform}))
 
 
