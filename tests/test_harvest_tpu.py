@@ -121,6 +121,51 @@ class TestHarvestBatchSemantics:
                           f0_floor=800.0, f0_ceil=71.0)
 
 
+class TestGridEvalUniform:
+    """The gather-free grid bracketing (_grid_eval_uniform) must agree with
+    the reference searchsorted implementation (_interval_track +
+    _interp_track_grid) wherever event gaps stay under the _LOOKBACK bound
+    (always true for in-band signals; longer gaps only bridge silence)."""
+
+    def test_matches_searchsorted_path(self):
+        import jax
+        import jax.numpy as jnp
+
+        from dvc_tpu.ops.harvest import (
+            _grid_eval_uniform,
+            _interp_track_grid,
+            _interval_track,
+            _track_fields,
+        )
+
+        rng = np.random.RandomState(0)
+        afs, stride, e = 8000.0, 8, 4000
+        # band-limited noise rows -> realistic crossing trains
+        rows = []
+        for r in range(6):
+            x = rng.randn(e + 1)
+            for _ in range(3):
+                x = np.convolve(x, np.ones(9) / 9.0, mode="same")
+            rows.append(x[:e + 1])
+        s = jnp.asarray(np.stack(rows), jnp.float32)
+        a, b = s[..., :-1], s[..., 1:]
+        i = jnp.arange(e, dtype=s.dtype)
+        cross = (a > 0) & (b <= 0)
+        loc = (i + a / jnp.where(a == b, 1.0, a - b)) / afs
+        grid = jnp.arange(e // stride + 1, dtype=jnp.float32) \
+            * (stride / afs)
+
+        tm, fv = _track_fields(cross, loc)
+        fast = np.asarray(_grid_eval_uniform(tm, fv, stride, grid))
+
+        ev, tm_o, fv_o = _interval_track(cross, loc)
+        interp = jax.vmap(_interp_track_grid, in_axes=(0, 0, 0, None))
+        ref = np.asarray(interp(ev, tm_o, fv_o, grid))
+
+        np.testing.assert_allclose(fast, ref, rtol=1e-4, atol=1e-5)
+        assert (np.asarray(fast) > 0).mean() > 0.5  # tracks actually found
+
+
 class TestWorldDecomposeBatch:
     def test_contract_and_agreement(self, tmp_path):
         from dvc_tpu.ops.world import world_decompose, world_decompose_batch
