@@ -599,7 +599,8 @@ def cmd_eval_mcd(args) -> int:
     pairs = _pair_converted_to_source(args.src_dir, args.cvt_dir)
     src = [read_wav(s)[0] for s, _ in pairs]
     cvt = [read_wav(c)[0] for _, c in pairs]
-    mcds = evaluate_mcd_wav(src, cvt)
+    mcds = evaluate_mcd_wav(src, cvt,
+                            analysis=getattr(args, "analysis", "native"))
     for (_, fp), m in zip(pairs, mcds):
         print(f"utterance {os.path.basename(fp)} mcd: {m}")
     finite = [m for m in mcds if np.isfinite(m)]
@@ -763,6 +764,10 @@ def main(argv=None) -> int:
     p = sub.add_parser("eval-mcd")
     p.add_argument("--src_dir", required=True)
     p.add_argument("--cvt_dir", required=True)
+    p.add_argument("--analysis", choices=["native", "device"],
+                   default="native",
+                   help="device: corpus-batched on-accelerator WORLD "
+                        "analysis (ops/world.world_decompose_batch)")
     p.set_defaults(fn=cmd_eval_mcd)
 
     args = parser.parse_args(argv)

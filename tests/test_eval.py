@@ -67,6 +67,36 @@ class TestMCD:
         assert mcd_from_mcc(mcc, mcc2) == pytest.approx(0.0, abs=1e-9)
 
 
+class TestMCDDeviceAnalysis:
+    def test_device_matches_native_analysis(self):
+        """eval-mcd --analysis device: MCDs from corpus-batched device
+        WORLD analysis agree with the native per-wav path (the f0/MCC
+        chains are tolerance-gated against each other, so MCD can differ
+        only in the decimals)."""
+        from dvc_tpu.eval.mcd import evaluate_mcd_wav
+        from dvc_tpu.native import world as native_world
+
+        if not native_world.available():
+            pytest.skip("native WORLD engine not built")
+        rng = np.random.RandomState(0)
+        fs = 16000
+
+        def voice(f0, n=12000):
+            t = np.arange(n) / fs
+            inst = f0 * (1 + 0.05 * np.sin(2 * np.pi * 3 * t))
+            return (0.4 * np.sin(2 * np.pi * np.cumsum(inst) / fs)
+                    + 0.02 * rng.randn(n)).astype(np.float32)
+
+        src = [voice(150.0), voice(120.0)]
+        cvt = [voice(230.0), voice(200.0)]
+        nat = evaluate_mcd_wav(src, cvt, fs, analysis="native")
+        dev = evaluate_mcd_wav(src, cvt, fs, analysis="device")
+        assert len(nat) == len(dev) == 2
+        for a, b in zip(nat, dev):
+            assert np.isfinite(a) and np.isfinite(b)
+            assert abs(a - b) < 0.35 * max(a, 1.0), (a, b)
+
+
 class TestEER:
     def test_perfect_separation(self):
         labels = np.array([1, 1, 1, 0, 0, 0])
