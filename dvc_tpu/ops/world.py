@@ -605,6 +605,13 @@ def world_decompose_batch(wavs: list[np.ndarray], fs: int,
         bucket = int(np.ceil((len(w) + 1) / pad_to)) * pad_to
         buckets.setdefault(bucket, []).append(i)
 
+    # two-phase pipeline: dispatch EVERY chunk's full device chain first
+    # (harvest -> envelope/mcep -> d4c, f0 stays on device — the old
+    # mid-chain f0 fetch was a no-op transformation that serialized
+    # compute behind the host), then fetch results.  With async dispatch
+    # the later chunks' compute overlaps the earlier chunks' downloads.
+
+    pending = []
     for bucket, idxs in sorted(buckets.items()):
         n_pad_frames = bucket // hop + 1
         for lo in range(0, len(idxs), max_batch):
@@ -614,39 +621,38 @@ def world_decompose_batch(wavs: list[np.ndarray], fs: int,
             for r, i in enumerate(chunk):
                 batch[r, :len(wavs[i])] = wavs[i]
                 lengths[r] = len(wavs[i])
-            f0b = np.asarray(harvest_batch(batch, lengths, fs, frame_period))
-            # crop/pad each row to the sp/mc frame contract (len//hop + 1),
-            # mirroring world_decompose's alignment rule
-            f0_rows = []
-            for r, i in enumerate(chunk):
-                n_true = int(lengths[r]) // hop + 1
-                row = f0b[r]
-                if len(row) < n_true:
-                    row = np.pad(row, (0, n_true - len(row)))
-                f0_rows.append(row[:n_true])
-            f0_pad = np.zeros((len(chunk), n_pad_frames), np.float32)
-            for r, row in enumerate(f0_rows):
-                f0_pad[r, :len(row)] = row
-            sp_b, mc_b = _envelope_mcep_chain_batch(
-                jnp.asarray(batch), jnp.asarray(f0_pad), fs, frame_period,
-                num_mcep)
-            sp_b = np.asarray(sp_b)
-            mc_b = np.asarray(mc_b)
-            ap_b = None
+            batch_d = jnp.asarray(batch)
+            f0_d = harvest_batch(batch_d, lengths, fs, frame_period)
+            # align the harvest grid to the sp/mc frame contract
+            # (N//hop + 1 frames; equal for integer-ms hops, off-by-a-frame
+            # otherwise) — a device-side slice/pad, not a host round-trip
+            if f0_d.shape[-1] < n_pad_frames:
+                f0_d = jnp.pad(f0_d,
+                               ((0, 0), (0, n_pad_frames - f0_d.shape[-1])))
+            f0_d = f0_d[:, :n_pad_frames]
+            sp_d, mc_d = _envelope_mcep_chain_batch(
+                batch_d, f0_d, fs, frame_period, num_mcep)
+            ap_d = None
             if keep_sp_ap:
-                ap_b = np.asarray(d4c_batch(
-                    batch, f0_pad, fs, frame_period,
-                    fft_size=2 * (sp_b.shape[-1] - 1)))
-            for r, i in enumerate(chunk):
-                f0 = f0_rows[r].astype(np.float32)
-                n_true = len(f0)
-                timeaxis = (np.arange(n_true) * frame_period / 1000.0
-                            ).astype(np.float32)
-                sp = ap = None
-                if keep_sp_ap:
-                    sp = sp_b[r, :n_true]
-                    ap = ap_b[r, :n_true].astype(np.float32)
-                results[i] = (f0, timeaxis, sp, ap, mc_b[r, :n_true])
+                ap_d = d4c_batch(batch_d, f0_d, fs, frame_period,
+                                 fft_size=2 * (sp_d.shape[-1] - 1))
+            pending.append((chunk, lengths, f0_d, sp_d, mc_d, ap_d))
+
+    for chunk, lengths, f0_d, sp_d, mc_d, ap_d in pending:
+        f0b = np.asarray(f0_d)
+        sp_b = np.asarray(sp_d)
+        mc_b = np.asarray(mc_d)
+        ap_b = np.asarray(ap_d) if ap_d is not None else None
+        for r, i in enumerate(chunk):
+            n_true = int(lengths[r]) // hop + 1
+            f0 = f0b[r, :n_true].astype(np.float32)
+            timeaxis = (np.arange(n_true) * frame_period / 1000.0
+                        ).astype(np.float32)
+            sp = ap = None
+            if keep_sp_ap:
+                sp = sp_b[r, :n_true]
+                ap = ap_b[r, :n_true].astype(np.float32)
+            results[i] = (f0, timeaxis, sp, ap, mc_b[r, :n_true])
     return results
 
 
