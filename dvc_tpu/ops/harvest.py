@@ -42,6 +42,7 @@ default single-utterance path; this module is the corpus-scale batch path
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass, field
 
 import jax
@@ -229,11 +230,12 @@ def _interp_track_grid(ev: jax.Array, tm: jax.Array, fv: jax.Array,
 
 _NEG = jnp.float32(-1e30)   # "no track here" sentinel (finite: the patch
 _POS = jnp.float32(1e30)    # extraction is a conv, and inf*0 would be NaN)
-_LOOKBACK = 256  # samples of tm lookahead covered exactly; a track's tm sits
-# ~one ring interval (afs/bf0 ~ 110 samples at the lowest channel) ahead of
-# its position, so 256 covers every in-band interval.  Longer intervals only
+_LOOKBACK = 256  # FLOOR on the tm-lookahead window; the actual bound is
+# derived per plan in _channel_candidates (2*afs/f0_floor rounded up to a
+# multiple of 64) since a track's tm sits ~one ring interval (afs/bf0)
+# ahead of its position and bf0_min tracks f0_floor.  Longer intervals only
 # arise across silence gaps, where interpolated candidates fail the band /
-# floor checks anyway.
+# floor checks anyway (gated by test_silence_gap in tests/test_harvest_tpu.py).
 
 
 def _track_fields(cross: jax.Array, loc: jax.Array):
@@ -269,12 +271,28 @@ def _window_patches_1d(x: jax.Array, width: int, stride: int,
 
 
 _GRID_TILE = 512  # grid frames per window-patch chunk (bounds live memory)
-_MAX_SLOTS = 32  # candidate slots kept after the channel merge (dense
-# prefix by construction; see the truncation comment in _harvest_jit)
+_MAX_SLOTS = int(os.environ.get("DVC_HARVEST_MAX_SLOTS", "32"))
+# candidate slots kept after the channel merge (dense prefix by
+# construction; see the truncation comment in _harvest_jit).  Overridable
+# via DVC_HARVEST_MAX_SLOTS; the high-water mark of merged candidates per
+# frame is tracked so a pathological input that would overflow the cap is
+# detectable (merge_slot_high_water below) instead of silently pruned.
+
+_last_merge_slots: list = [None]  # device scalar from the last harvest call
+
+
+def merge_slot_high_water() -> int | None:
+    """Max candidates/frame the channel merge produced in the LAST
+    harvest_batch call (fetches a device scalar).  If this reaches
+    _MAX_SLOTS the truncation in _harvest_jit may have dropped mutually
+    3%-separated candidates — re-run with DVC_HARVEST_MAX_SLOTS raised."""
+    v = _last_merge_slots[0]
+    return None if v is None else int(v)
 
 
 def _grid_eval_uniform(tm: jax.Array, fv: jax.Array, stride: int,
-                       grid: jax.Array) -> jax.Array:
+                       grid: jax.Array,
+                       lookback: int = _LOOKBACK) -> jax.Array:
     """Gather-free _interp_track_grid for a uniform grid with integer sample
     stride.  tm/fv: (R, E) per-sample track fields from _track_fields;
     grid: (G,) query times with grid[g] at sample g*stride.  Returns (R, G).
@@ -331,7 +349,7 @@ def _grid_eval_uniform(tm: jax.Array, fv: jax.Array, stride: int,
 
     # lookback window [g*stride - D, g*stride - 1] over the raw track
     # fields, in grid chunks of _GRID_TILE frames
-    d = _LOOKBACK
+    d = lookback
     r = tm.shape[0]
     gp = -(-g // _GRID_TILE) * _GRID_TILE
     n_tiles = gp // _GRID_TILE
@@ -422,7 +440,14 @@ def _channel_candidates(filtered: jax.Array, bf0: jax.Array, afs: float,
             fvs.append(fvx)
         tm_all = jnp.stack(tms).reshape(4 * cb * bsz, -1)
         fv_all = jnp.stack(fvs).reshape(4 * cb * bsz, -1)
-        v = _grid_eval_uniform(tm_all, fv_all, stride, grid)
+        # lookback must cover one ring interval of the LOWEST channel
+        # (tm sits ~afs/bf0 samples ahead of its position; bf0_min ~
+        # f0_floor), with a 2x safety factor — derived from the plan
+        # instead of assuming 256 holds for every f0_floor (advisor r3).
+        # Default params (afs=8000, floor=71): 2*8000/71=226 -> 256,
+        # identical to the old constant.
+        lookback = max(_LOOKBACK, -(-int(2.0 * afs / f0_floor + 1) // 64) * 64)
+        v = _grid_eval_uniform(tm_all, fv_all, stride, grid, lookback)
         v = jnp.moveaxis(v.reshape(4, cb, bsz, -1), 0, -1)  # (CB, B, G, 4)
     else:
         interp = _interp_track_grid
@@ -494,7 +519,14 @@ def _onehot_pick(vals: jax.Array, idx: jax.Array, k_size: int,
         v, ix = args  # (b, tile, K, A), (b, tile, P)
         oh = (ix[..., None] == jnp.arange(k_size, dtype=ix.dtype)) \
             .astype(v.dtype)
-        return jnp.einsum('btpk,btka->btpa', oh, v)
+        # HIGHEST precision + f32 accumulation: at default precision the
+        # TPU MXU truncates the picked values to bf16 (~0.4% relative),
+        # which feeds the near-cancelling instantaneous-frequency
+        # numerator downstream.  The pick must reproduce take_along_axis
+        # exactly (advisor r3).
+        return jnp.einsum('btpk,btka->btpa', oh, v,
+                          precision=lax.Precision.HIGHEST,
+                          preferred_element_type=jnp.float32)
 
     out = lax.map(tile_fn, (vt, it))
     return jnp.moveaxis(out, 0, 1).reshape(b, gp, p, a)[:, :g]
@@ -748,12 +780,15 @@ def _harvest_jit(wavs: jax.Array, lengths: jax.Array, fs: int,
     cols = cols.reshape(-1, bsz, plan.n1)[:plan.n_ch]  # (C, B, G)
 
     # --- merge, refine, dedup, prune ------------------------------------
-    cand, _ = _merge_channels(cols, plan.n_ch)
+    cand, n_c = _merge_channels(cols, plan.n_ch)
     # the merge inserts at slot n_c, so used slots are a dense prefix; more
     # than _MAX_SLOTS mutually 3%-separated candidate f0s in one 1 ms frame
     # would need a pathological spectrum (3% spacing over [71, 800] Hz caps
     # the count at ~82 theoretical, <20 in practice), so truncating keeps
-    # the low-channel candidates and shrinks refine + dedup ~2.6x
+    # the low-channel candidates and shrinks refine + dedup ~2.6x.  The
+    # per-frame high-water mark is returned so overflow is detectable
+    # (merge_slot_high_water); raise DVC_HARVEST_MAX_SLOTS if it hits cap.
+    merge_high_water = jnp.max(n_c)
     cand = cand[..., :min(_MAX_SLOTS, cand.shape[-1])]
     y_pad = jnp.pad(y, ((0, 0), (plan.max_half, plan.max_half)))
     refined, score = _refine(plan, y_pad, cand)
@@ -797,7 +832,7 @@ def _harvest_jit(wavs: jax.Array, lengths: jax.Array, fs: int,
     n_true = (lengths.astype(jnp.float32)
               * float(1000.0 / fs / frame_period_ms)).astype(jnp.int32) + 1
     out = jnp.where(jnp.arange(n_out)[None, :] < n_true[:, None], out, 0.0)
-    return out
+    return out, merge_high_water
 
 
 def harvest_batch(wavs, lengths=None, fs: int = 16_000,
@@ -821,5 +856,10 @@ def harvest_batch(wavs, lengths=None, fs: int = 16_000,
         lengths = jnp.full((wavs.shape[0],), wavs.shape[-1], jnp.int32)
     else:
         lengths = jnp.asarray(lengths, jnp.int32)
-    return _harvest_jit(wavs, lengths, int(fs), float(frame_period_ms),
-                        float(f0_floor), float(f0_ceil))
+    out, high_water = _harvest_jit(wavs, lengths, int(fs),
+                                   float(frame_period_ms),
+                                   float(f0_floor), float(f0_ceil))
+    # device scalar kept un-fetched (a fetch costs a host round-trip);
+    # merge_slot_high_water() materializes it on demand
+    _last_merge_slots[0] = high_water
+    return out

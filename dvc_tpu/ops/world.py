@@ -605,13 +605,35 @@ def world_decompose_batch(wavs: list[np.ndarray], fs: int,
         bucket = int(np.ceil((len(w) + 1) / pad_to)) * pad_to
         buckets.setdefault(bucket, []).append(i)
 
-    # two-phase pipeline: dispatch EVERY chunk's full device chain first
-    # (harvest -> envelope/mcep -> d4c, f0 stays on device — the old
-    # mid-chain f0 fetch was a no-op transformation that serialized
-    # compute behind the host), then fetch results.  With async dispatch
-    # the later chunks' compute overlaps the earlier chunks' downloads.
+    # Bounded two-stage pipeline: dispatch chunk i's full device chain
+    # (harvest -> envelope/mcep -> d4c; f0 stays on device — a mid-chain
+    # f0 fetch would serialize compute behind the host), and fetch chunk
+    # i-k while chunk i computes.  Depth k=2 preserves the
+    # compute/download overlap of the old dispatch-everything pipeline
+    # while keeping device residency O(1) in corpus size — with
+    # keep_sp_ap=True each resident chunk holds ~2.5 MB/utterance of
+    # sp+ap, so unbounded depth exhausted HBM on large corpora
+    # (advisor r3).
 
-    pending = []
+    def _fetch(entry):
+        chunk, lengths, f0_d, sp_d, mc_d, ap_d = entry
+        f0b = np.asarray(f0_d)
+        sp_b = np.asarray(sp_d) if sp_d is not None else None
+        mc_b = np.asarray(mc_d)
+        ap_b = np.asarray(ap_d) if ap_d is not None else None
+        for r, i in enumerate(chunk):
+            n_true = int(lengths[r]) // hop + 1
+            f0 = f0b[r, :n_true].astype(np.float32)
+            timeaxis = (np.arange(n_true) * frame_period / 1000.0
+                        ).astype(np.float32)
+            sp = ap = None
+            if keep_sp_ap:
+                sp = sp_b[r, :n_true]
+                ap = ap_b[r, :n_true].astype(np.float32)
+            results[i] = (f0, timeaxis, sp, ap, mc_b[r, :n_true])
+
+    depth = 2
+    pending: list = []
     for bucket, idxs in sorted(buckets.items()):
         n_pad_frames = bucket // hop + 1
         for lo in range(0, len(idxs), max_batch):
@@ -636,23 +658,14 @@ def world_decompose_batch(wavs: list[np.ndarray], fs: int,
             if keep_sp_ap:
                 ap_d = d4c_batch(batch_d, f0_d, fs, frame_period,
                                  fft_size=2 * (sp_d.shape[-1] - 1))
+            if not keep_sp_ap:
+                sp_d = None
             pending.append((chunk, lengths, f0_d, sp_d, mc_d, ap_d))
+            if len(pending) > depth:
+                _fetch(pending.pop(0))
 
-    for chunk, lengths, f0_d, sp_d, mc_d, ap_d in pending:
-        f0b = np.asarray(f0_d)
-        sp_b = np.asarray(sp_d)
-        mc_b = np.asarray(mc_d)
-        ap_b = np.asarray(ap_d) if ap_d is not None else None
-        for r, i in enumerate(chunk):
-            n_true = int(lengths[r]) // hop + 1
-            f0 = f0b[r, :n_true].astype(np.float32)
-            timeaxis = (np.arange(n_true) * frame_period / 1000.0
-                        ).astype(np.float32)
-            sp = ap = None
-            if keep_sp_ap:
-                sp = sp_b[r, :n_true]
-                ap = ap_b[r, :n_true].astype(np.float32)
-            results[i] = (f0, timeaxis, sp, ap, mc_b[r, :n_true])
+    for entry in pending:
+        _fetch(entry)
     return results
 
 

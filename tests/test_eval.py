@@ -94,7 +94,10 @@ class TestMCDDeviceAnalysis:
         assert len(nat) == len(dev) == 2
         for a, b in zip(nat, dev):
             assert np.isfinite(a) and np.isfinite(b)
-            assert abs(a - b) < 0.35 * max(a, 1.0), (a, b)
+            # 5% relative (advisor r3 tightened this from 35%): the f0/MCC
+            # chains are tolerance-gated against each other, so a larger
+            # drift would mean a real regression in the device analysis
+            assert abs(a - b) < 0.05 * max(a, 1.0), (a, b)
 
 
 class TestEER:

@@ -113,6 +113,38 @@ class TestHarvestBatchSemantics:
         assert np.all(out[n_true:] == 0.0)
         assert (out[:n_true] > 0).mean() > 0.8
 
+    def test_long_silence_gap_low_floor(self):
+        """Event gaps across long silence exceed the tm-lookback window;
+        the plan-derived bound (2*afs/f0_floor, advisor r4) plus the
+        band/deviation checks must keep gap frames unvoiced and the voiced
+        segments native-accurate even at a low f0_floor where the old 256
+        constant was insufficient (afs=8000, floor=50 -> bound 320)."""
+        x1, _ = _harm(2500, lambda t: 120.0 + 0 * t, seed=60)
+        x2, _ = _harm(2500, lambda t: 180.0 + 0 * t, seed=61)
+        x = np.concatenate([x1, np.zeros(3000, np.float32), x2])
+        pad = np.zeros(N, np.float32)
+        pad[:len(x)] = x
+        out = np.asarray(harvest_batch(pad[None], lengths=[len(x)], fs=FS,
+                                       f0_floor=50.0))[0]
+        f0n, _ = native_world.harvest(x, FS, 5.0, f0_floor=50.0)
+        f0j = out[:len(f0n)]
+        vj, vn = f0j > 0, f0n > 0
+        assert float((vj == vn).mean()) >= 0.93
+        # the silence gap itself must come out unvoiced, not interpolated
+        gap = slice(int(2700 / FS * 200), int(5300 / FS * 200))
+        assert (f0j[gap] > 0).mean() < 0.2
+        both = vj & vn
+        assert both.sum() >= 30
+        assert np.median(np.abs(f0j[both] - f0n[both]) / f0n[both]) < 0.01
+
+    def test_merge_slot_high_water(self):
+        from dvc_tpu.ops.harvest import _MAX_SLOTS, merge_slot_high_water
+
+        x, _ = _harm(N, lambda t: 200.0 + 0 * t, seed=62)
+        harvest_batch(x[None], fs=FS)
+        hw = merge_slot_high_water()
+        assert hw is not None and 1 <= hw <= _MAX_SLOTS
+
     def test_parameter_validation(self):
         with pytest.raises(ValueError):
             harvest_batch(np.zeros(32, np.float32), fs=FS)
