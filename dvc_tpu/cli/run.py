@@ -140,8 +140,25 @@ def cmd_convert(args) -> int:
 
     vocoder = _make_cli_vocoder(args, cfg)
 
+    fs_mask = None
+    if getattr(args, "fs_mask", ""):
+        import numpy as np
+
+        from dvc_tpu.convert.conversion import binarize_fs_mask
+        loaded = np.load(args.fs_mask)
+        raw = loaded["mask"] if hasattr(loaded, "files") else loaded
+        if raw.shape != (cfg.vae.latent_dim,):
+            raise SystemExit(
+                f"--fs_mask shape {raw.shape} != latent_dim "
+                f"({cfg.vae.latent_dim},) — was train-fs run on this model?")
+        fs_mask = binarize_fs_mask(raw, cfg.vae.speaker_size,
+                                   args.fs_threshold)
+        print(f"FS-masked swap dims: "
+              f"{np.where(fs_mask > 0)[0].tolist()}")
+
     converter = VoiceConverter(cfg, trainer.model, variables, seed=args.seed,
-                               long_context=args.long_context)
+                               long_context=args.long_context,
+                               fs_mask=fs_mask)
     converter.convert_speaker_pair(
         args.dataset_fp, args.src_spk, args.trg_spk,
         os.path.join(args.log_dir, "generation"),
@@ -274,9 +291,14 @@ def cmd_eval_eer(args) -> int:
 def cmd_serve(args) -> int:
     """HTTP conversion service with cross-request micro-batching
     (dvc_tpu/serve.py — additive serving capability)."""
-    from dvc_tpu.serve import ConversionService, make_http_server
+    from dvc_tpu.serve import (
+        ConversionService, WorldConversionService, make_http_server)
     from dvc_tpu.train.trainer import Trainer
 
+    if getattr(args, "pipeline", "mel") == "world":
+        # the WORLD route serves the MCC-VAE (reference's
+        # WORLD_processing.py path); dataset_fp is a preprocess-world dir
+        args.features = "mcc"
     cfg = _config_from_args(args)
     trainer = Trainer(cfg,
                       checkpoints_path=os.path.join(args.log_dir, "checkpoints"))
@@ -285,11 +307,16 @@ def cmd_serve(args) -> int:
     variables = {"params": trainer.state.params,
                  "batch_stats": trainer.state.batch_stats}
 
-    vocoder = _make_cli_vocoder(args, cfg)
-
-    service = ConversionService(cfg, trainer.model, variables,
-                                args.dataset_fp, vocoder,
-                                max_wait_ms=args.max_wait_ms)
+    if getattr(args, "pipeline", "mel") == "world":
+        service = WorldConversionService(cfg, trainer.model, variables,
+                                         args.dataset_fp,
+                                         sample_rate=cfg.audio.sample_rate,
+                                         max_wait_ms=args.max_wait_ms)
+    else:
+        vocoder = _make_cli_vocoder(args, cfg)
+        service = ConversionService(cfg, trainer.model, variables,
+                                    args.dataset_fp, vocoder,
+                                    max_wait_ms=args.max_wait_ms)
     server = make_http_server(service, args.host, args.port)
     print(f"serving on http://{args.host}:{args.port} "
           f"({len(service.speakers())} target speakers)")
@@ -665,6 +692,14 @@ def main(argv=None) -> int:
     p.add_argument("--long_context", action="store_true",
                    help="encode with cross-chunk context (whole-utterance "
                         "conv+biLSTM) instead of independent 64-frame chunks")
+    p.add_argument("--fs_mask", default="",
+                   help="feature_mask.npz from train-fs (or a bare .npy "
+                        "mask): swap the FeatureSelection-selected "
+                        "speaker-discriminative latent dims instead of "
+                        "only the style dims — closes the identity leak "
+                        "through content dims at latent 32")
+    p.add_argument("--fs_threshold", type=float, default=0.5,
+                   help="sigmoid-mask binarization threshold for --fs_mask")
     p.set_defaults(fn=cmd_convert)
 
     p = sub.add_parser("train-speaker")
@@ -751,6 +786,11 @@ def main(argv=None) -> int:
     p.add_argument("--vocoder", default="griffinlim",
                    choices=["none", "griffinlim", "istft"])
     p.add_argument("--gl_iters", type=int, default=32)
+    p.add_argument("--pipeline", default="mel", choices=["mel", "world"],
+                   help="world: serve the MCC/WORLD conversion route "
+                        "(batched device analysis + latent swap + device "
+                        "synthesis; dataset_fp is a preprocess-world "
+                        "output dir, the checkpoint an MCC-VAE)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("eval-eer")

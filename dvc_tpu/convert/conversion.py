@@ -55,17 +55,80 @@ def _convert_chunks(model: DisentangledVAE, variables, src_chunks, trg_chunks):
     return recons_voice, converted_voice
 
 
+@partial(jax.jit, static_argnums=(0,))
+def _convert_chunks_fs(model: DisentangledVAE, variables, src_chunks,
+                       trg_chunks, mask):
+    """FeatureSelection-masked latent swap.
+
+    The plain conversion (_convert_chunks) swaps only the first
+    speaker_size style dims (reference variational_base_vae.py:284-285).
+    At the reference's latent 32 = 4+28, speaker identity also leaks into
+    the 28 content dims unless trained to VCTK scale — the reference's own
+    FeatureSelection tool (model/train_feature_selection.py:63-79) exists
+    to FIND those leaking dims, but the reference never wires it into
+    conversion.  Here: mask (D,) in {0,1} marks speaker-discriminative
+    dims; convert_z takes the TARGET speaker's per-utterance mean latent on
+    masked dims and the source's per-chunk latent elsewhere, so identity
+    swaps wherever it actually lives while per-chunk content is preserved
+    on the un-masked dims."""
+    src_style_mu, _, src_content_mu, _ = model.apply(
+        variables, src_chunks, method="encode")
+    trg_style_mu, _, trg_content_mu, _ = model.apply(
+        variables, trg_chunks, method="encode")
+
+    n = src_chunks.shape[0]
+    src_style = jnp.broadcast_to(jnp.mean(src_style_mu, axis=0, keepdims=True),
+                                 (n, src_style_mu.shape[-1]))
+    src_z = jnp.concatenate([src_style, src_content_mu], axis=-1)
+    trg_mean = jnp.mean(jnp.concatenate([trg_style_mu, trg_content_mu], -1),
+                        axis=0, keepdims=True)
+
+    source_z = src_z
+    convert_z = src_z * (1.0 - mask) + trg_mean * mask
+
+    recons_mel = model.apply(variables, source_z, method="decode")
+    converted_mel = model.apply(variables, convert_z, method="decode")
+    converted_mel = converted_mel + model.apply(variables, converted_mel,
+                                                method="postnet")
+    recons_voice = unchunk_mel(recons_mel)
+    converted_voice = unchunk_mel(jnp.clip(converted_mel, 0.0, 1.0))
+    return recons_voice, converted_voice
+
+
+def binarize_fs_mask(mask: np.ndarray, speaker_size: int,
+                     threshold: float = 0.5) -> np.ndarray:
+    """Sigmoid feature mask (train-fs output) -> binary swap mask (D,).
+
+    Dims above threshold are speaker-discriminative and get swapped; the
+    first speaker_size style dims are always swapped (they ARE the model's
+    designated identity dims — the plain conversion swaps exactly those)."""
+    m = (np.asarray(mask, np.float32) > threshold).astype(np.float32)
+    m[:speaker_size] = 1.0
+    return m
+
+
 def convert_mel(model: DisentangledVAE, variables, source_mel: np.ndarray,
-                target_mel: np.ndarray, frames: int = 64
+                target_mel: np.ndarray, frames: int = 64,
+                fs_mask: np.ndarray | None = None
                 ) -> tuple[np.ndarray, np.ndarray]:
     """(80, Ts), (80, Tt) -> (recons, converted) both (80, (Ts//64+1)*64).
+
+    fs_mask: optional (latent_dim,) binary mask (binarize_fs_mask) routing
+    through the FeatureSelection-masked swap instead of the plain
+    style-dims-only swap.
 
     NOTE: like the reference, the zero-padded tail of the last chunk is kept
     (the vocoder sees it) — crop with [:, :Ts] if undesired.
     """
     src_chunks = chunk_mel(jnp.asarray(source_mel, jnp.float32), frames)
     trg_chunks = chunk_mel(jnp.asarray(target_mel, jnp.float32), frames)
-    recons, converted = _convert_chunks(model, variables, src_chunks, trg_chunks)
+    if fs_mask is not None:
+        recons, converted = _convert_chunks_fs(
+            model, variables, src_chunks, trg_chunks,
+            jnp.asarray(fs_mask, jnp.float32))
+    else:
+        recons, converted = _convert_chunks(model, variables, src_chunks,
+                                            trg_chunks)
     return np.asarray(recons), np.asarray(converted)
 
 
@@ -82,6 +145,9 @@ class VoiceConverter:
     # (cross-chunk-context) encoder instead of independent 64-frame chunks
     # (models/long_context.py — additive capability, same checkpoints)
     long_context: bool = False
+    # fs_mask: binary (latent_dim,) mask -> FeatureSelection-masked latent
+    # swap (binarize_fs_mask of a train-fs feature_mask.npz)
+    fs_mask: np.ndarray | None = None
 
     def convert_speaker_pair(self, dataset_fp: str, src_spk: str, trg_spk: str,
                              generation_dir: str, num_utterances: int = 2,
@@ -113,6 +179,11 @@ class VoiceConverter:
             parts = stem.split("_")
             utt_id = parts[-2] if len(parts) >= 2 else str(i)
             if self.long_context:
+                if self.fs_mask is not None:
+                    raise ValueError(
+                        "--fs_mask is not supported with --long_context "
+                        "(the whole-utterance encoder has its own latent "
+                        "assembly); drop one of the two flags")
                 from dvc_tpu.models.long_context import convert_mel_long_context
                 recons, converted = convert_mel_long_context(
                     self.model, self.variables, source_mel, target_mel,
@@ -120,7 +191,8 @@ class VoiceConverter:
             else:
                 recons, converted = convert_mel(self.model, self.variables,
                                                 source_mel, target_mel,
-                                                self.cfg.vae.frames)
+                                                self.cfg.vae.frames,
+                                                fs_mask=self.fs_mask)
             if save_png:
                 self._save_pngs(save_dir, src_spk, trg_spk, utt_id,
                                 source_mel, recons, converted)

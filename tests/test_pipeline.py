@@ -508,6 +508,98 @@ class TestMelConversionQuality:
         assert self._profile_dist(recons, centers["sA"]) < 0.10
 
 
+class TestFSMaskedConversion:
+    """VERDICT r3 item 1: the FeatureSelection-masked latent swap
+    (convert --fs_mask) converts toward the target AT THE REFERENCE'S
+    LATENT 32 = 4+28, where the plain style-dims-only swap demonstrably
+    fails at sub-VCTK training scale (identity leaks into the 28 content
+    dims; the group-VAE objective only *prefers* style to carry
+    within-pair-constant information).  FS — the tool the reference itself
+    ships for finding speaker-discriminative latent dims
+    (model/train_feature_selection.py:63-79) but never wires into
+    conversion — finds the leaking dims, and swapping all of them fixes
+    the direction.
+
+    Measured at this scale (4 speakers, 200 epochs, threshold 0.5), seeds
+    1/2/3: plain swap 2/12, 2/12, 1/12 pairs toward target (mean margins
+    -0.072, -0.086, -0.081); FS swap 10/12, 7/12, 8/12 (+0.080, +0.043,
+    +0.024) — direction flips positive on every seed.  The gate pins
+    seed 1 and asserts the seed-robust facts: positive FS mean margin,
+    majority of pairs toward target, and a large improvement over the
+    plain swap.  Chip-scale (full-size architecture, 20 speakers)
+    measurement: tools/quality_full_size.py --fs_swap."""
+
+    def test_fs_swap_converts_at_latent_32(self, tmp_path):
+        from dvc_tpu.convert.conversion import binarize_fs_mask, convert_mel
+        from dvc_tpu.data.dataset import PairedMelDataset
+        from dvc_tpu.train.feature_selection_trainer import (
+            FeatureSelectionTrainer)
+        from dvc_tpu.train.trainer import Trainer
+
+        synth = TestMelConversionQuality._synth_mel
+        pdist = TestMelConversionQuality._profile_dist
+        rng = np.random.RandomState(0)
+        centers = {f"s{i}": c for i, c in
+                   enumerate(np.linspace(14, 70, 4))}
+        for spk, center in centers.items():
+            d = tmp_path / spk
+            d.mkdir(parents=True)
+            for i in range(8):
+                np.save(d / f"{spk}_{i:03d}_mel.npy", synth(center, rng))
+
+        vae = C.VAEConfig(frames=16, dim_neck=8, enc_channels=32,
+                          dim_pre=32, dec_lstm2_hidden=32,
+                          postnet_channels=32, latent_dim=32,
+                          speaker_size=4)
+        cfg = C.Config(vae=vae,
+                       train=C.TrainConfig(batch_size=4, learning_rate=1e-3,
+                                           compute_dtype="float32", seed=1))
+        ds = PairedMelDataset(str(tmp_path), samples_length=16, seed=1)
+        tr = Trainer(cfg)
+        for epoch in range(1, 201):
+            tr.train_epoch(ds, epoch)
+            ds.shuffle_data()
+        variables = {"params": tr.state.params,
+                     "batch_stats": tr.state.batch_stats}
+
+        fs_tr = FeatureSelectionTrainer(32, num_spk=4)
+        latents, labels = [], []
+        for x1, _x2, spk in ds.batches(4, shuffle=False):
+            latents.append(fs_tr.encode_latents(tr.model, variables, x1))
+            labels.append(spk)
+        latents = np.concatenate(latents)
+        labels = np.concatenate(labels)
+        last = fs_tr.train(latents, labels, epochs=40, batch_size=64,
+                           logging_func=lambda *a: None)
+        assert last["acc"] > 0.85  # FS must actually classify speakers
+        mask = binarize_fs_mask(fs_tr.feature_mask(latents), 4, 0.5)
+        assert mask[:4].all()  # style dims always swapped
+
+        hold = np.random.RandomState(100)
+        held = {s: synth(c, hold) for s, c in centers.items()}
+        names = list(centers)
+        plain_m, fs_m = [], []
+        for si in names:
+            for ti in names:
+                if si == ti:
+                    continue
+                _, conv_p = convert_mel(tr.model, variables, held[si],
+                                        held[ti], frames=16)
+                _, conv_f = convert_mel(tr.model, variables, held[si],
+                                        held[ti], frames=16, fs_mask=mask)
+                plain_m.append(pdist(conv_p, centers[si])
+                               - pdist(conv_p, centers[ti]))
+                fs_m.append(pdist(conv_f, centers[si])
+                            - pdist(conv_f, centers[ti]))
+        plain_mean = float(np.mean(plain_m))
+        fs_mean = float(np.mean(fs_m))
+        toward = sum(1 for m in fs_m if m > 0)
+        # seed-1 measured values: plain -0.072 (2/12), fs +0.080 (10/12)
+        assert fs_mean > 0.0, (fs_mean, plain_mean)
+        assert toward >= 7, (toward, fs_m)
+        assert fs_mean > plain_mean + 0.05, (fs_mean, plain_mean)
+
+
 class TestFeatureSelectionTrainer:
     def test_learns_discriminative_dims(self):
         from dvc_tpu.train.feature_selection_trainer import FeatureSelectionTrainer

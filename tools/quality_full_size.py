@@ -9,18 +9,27 @@ the honest numbers:
 
   * converged reconstruction L1;
   * style-direction margin: profile distance of the converted mel to the
-    TARGET speaker's defining profile vs the SOURCE speaker's, for every
-    ordered speaker pair (the conversion contract of reference
-    model/variational_base_vae.py:243-330).
+    TARGET speaker's defining profile vs the SOURCE speaker's, for ordered
+    speaker pairs (the conversion contract of reference
+    model/variational_base_vae.py:243-330);
+  * (--fs_swap) the same margins through the FeatureSelection-masked
+    latent swap (convert --fs_mask): FS is trained on the frozen VAE's
+    latents (reference model/train_feature_selection.py:63-79 — the tool
+    the reference itself invented for finding speaker-discriminative
+    latent dims but never wired into conversion), and conversion swaps
+    every FS-selected dim, so identity that leaks into the 28 content dims
+    is swapped along with the 4 style dims.
 
-Synthetic speakers are spectral-bump profiles with random smooth content
-(same construction as the CI gate).  With the full 28 content dims a small
-corpus lets identity leak through content — the reference counters this
-with 200k epochs on VCTK, which no bench-scale run reproduces — so this
-tool REPORTS the measured margin rather than asserting a bar; the pinned
-CI gate is the regression guard.
+Synthetic speakers are distinct 3-bump spectral profiles (the GE2E tool's
+factory — centers drawn without replacement so every pair differs) with
+random smooth content.  With the full 28 content dims a small corpus lets
+identity leak through content — the reference counters this with 200k
+epochs on VCTK, which no bench-scale run reproduces — so this tool REPORTS
+the measured margins; the CI-scale regression gates live in
+tests/test_pipeline.py.
 
-Usage: python tools/quality_full_size.py [--epochs 600] [--out out.json]
+Usage: python tools/quality_full_size.py [--epochs 600] [--speakers 20]
+       [--fs_swap] [--out out.json]
 """
 
 from __future__ import annotations
@@ -30,6 +39,7 @@ import json
 import os
 import sys
 import time
+from itertools import combinations
 
 import numpy as np
 
@@ -39,60 +49,101 @@ from dvc_tpu.utils.cache import enable_compile_cache  # noqa: E402
 
 enable_compile_cache()
 
-CENTERS = {"s0": 14.0, "s1": 33.0, "s2": 52.0, "s3": 70.0}
 
-
-def synth_mel(style_center: float, rng, t: int) -> np.ndarray:
+def speaker_profiles(n: int, rng) -> list[np.ndarray]:
+    """n distinct 3-bump spectral profiles (same construction as
+    tools/quality_ge2e.py — center triples without replacement)."""
+    grid = np.linspace(6, 74, 16)
+    triples = list(combinations(range(16), 3))
+    rng.shuffle(triples)
     bins = np.arange(80)
-    style = np.exp(-0.5 * ((bins - style_center) / 9.0) ** 2)
+    profs = []
+    for t3 in triples[:n]:
+        prof = np.zeros(80)
+        for gi in t3:
+            a = 0.5 + 0.5 * rng.rand()
+            prof += a * np.exp(-0.5 * ((bins - grid[gi]) / 5.0) ** 2)
+        profs.append(prof / max(prof.max(), 1e-9))
+    return profs
+
+
+def synth_mel(prof: np.ndarray, rng, t: int) -> np.ndarray:
     tt = np.linspace(0, 1, t)
     content = np.zeros(t)
     for k in range(1, 4):
         content += rng.randn() * np.sin(2 * np.pi * k * tt + rng.rand() * 6)
     content = 0.5 + 0.25 * content / max(1.0, np.abs(content).max())
-    mel = style[:, None] * content[None, :] + 0.02 * rng.rand(80, t)
+    mel = prof[:, None] * content[None, :] + 0.02 * rng.rand(80, t)
     return np.clip(mel, 0.0, 1.0).astype(np.float32)
 
 
-def profile_dist(mel: np.ndarray, center: float) -> float:
+def profile_dist(mel: np.ndarray, prof: np.ndarray) -> float:
+    """L2 between the mel's normalized mean spectral profile and the
+    speaker's normalized defining profile."""
     p = np.asarray(mel).mean(axis=1)
     p = p / max(p.sum(), 1e-9)
-    bins = np.arange(80)
-    ref = np.exp(-0.5 * ((bins - center) / 9.0) ** 2)
-    ref = ref / ref.sum()
+    ref = prof / max(prof.sum(), 1e-9)
     return float(np.sqrt(((p - ref) ** 2).sum()))
+
+
+def measure_pairs(model, variables, held, profs, frames, pairs,
+                  fs_mask=None):
+    from dvc_tpu.convert.conversion import convert_mel
+
+    recon_l1s, margins, rows = [], [], []
+    for si, ti in pairs:
+        recons, converted = convert_mel(model, variables, held[si],
+                                        held[ti], frames=frames,
+                                        fs_mask=fs_mask)
+        rl1 = float(np.mean(np.abs(
+            np.asarray(recons)[:, :held[si].shape[1]] - held[si])))
+        d_trg = profile_dist(converted, profs[ti])
+        d_src = profile_dist(converted, profs[si])
+        recon_l1s.append(rl1)
+        margins.append(d_src - d_trg)
+        rows.append({"pair": f"s{si}->s{ti}", "d_target": round(d_trg, 4),
+                     "d_source": round(d_src, 4), "recon_l1": round(rl1, 4)})
+    return recon_l1s, margins, rows
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=600)
+    ap.add_argument("--speakers", type=int, default=20)
     ap.add_argument("--utts", type=int, default=12)
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--latent", type=int, default=None,
                     help="override latent_dim (keep full-size everything "
-                         "else); the reference's 32=4+28 leaks identity "
-                         "through content at toy-corpus scale — latent "
-                         "8=4+4 is the bottleneck the CI gate pins")
+                         "else); default is the reference's 32=4+28")
+    ap.add_argument("--fs_swap", action="store_true",
+                    help="also train FeatureSelection on the frozen VAE "
+                         "latents and measure margins through the "
+                         "FS-masked swap (convert --fs_mask)")
+    ap.add_argument("--fs_epochs", type=int, default=60)
+    ap.add_argument("--fs_threshold", type=float, default=0.5)
+    ap.add_argument("--pairs", type=int, default=20,
+                    help="number of ordered speaker pairs to measure "
+                         "(deterministic sample; all pairs if >= n*(n-1))")
     ap.add_argument("--out", default=None)
     ap.add_argument("--data_dir", default="/tmp/quality_full_size")
     args = ap.parse_args()
 
     import dvc_tpu.config as C
-    from dvc_tpu.convert.conversion import convert_mel
     from dvc_tpu.data.dataset import PairedMelDataset
     from dvc_tpu.train.trainer import Trainer
 
     rng = np.random.RandomState(0)
+    profs = speaker_profiles(args.speakers, rng)
     os.makedirs(args.data_dir, exist_ok=True)
-    for spk, center in CENTERS.items():
-        d = os.path.join(args.data_dir, spk)
+    for si, prof in enumerate(profs):
+        d = os.path.join(args.data_dir, f"s{si}")
         os.makedirs(d, exist_ok=True)
         for i in range(args.utts):
             t = 64 + int(rng.rand() * 32)
-            np.save(os.path.join(d, f"{spk}_{i:03d}_mel.npy"),
-                    synth_mel(center, rng, t))
+            np.save(os.path.join(d, f"s{si}_{i:03d}_mel.npy"),
+                    synth_mel(prof, rng, t))
 
     # FULL flagship architecture: every dim at the reference's value
     # (optionally a narrower latent — see --latent help)
@@ -119,42 +170,67 @@ def main() -> None:
     variables = {"params": tr.state.params,
                  "batch_stats": tr.state.batch_stats}
     hold = np.random.RandomState(100)
-    held = {s: synth_mel(c, hold, 72) for s, c in CENTERS.items()}
+    held = [synth_mel(p, hold, 72) for p in profs]
 
-    recon_l1s, margins, pair_rows = [], [], []
-    for src_s, src_c in CENTERS.items():
-        for trg_s, trg_c in CENTERS.items():
-            if src_s == trg_s:
-                continue
-            recons, converted = convert_mel(tr.model, variables,
-                                            held[src_s], held[trg_s],
-                                            frames=cfg.vae.frames)
-            rl1 = float(np.mean(np.abs(
-                np.asarray(recons)[:, :held[src_s].shape[1]] - held[src_s])))
-            d_trg = profile_dist(converted, trg_c)
-            d_src = profile_dist(converted, src_c)
-            recon_l1s.append(rl1)
-            margins.append(d_src - d_trg)
-            pair_rows.append({"pair": f"{src_s}->{trg_s}",
-                              "d_target": round(d_trg, 4),
-                              "d_source": round(d_src, 4),
-                              "recon_l1": round(rl1, 4)})
+    # deterministic ordered-pair sample (round-robin offsets cover every
+    # speaker as source and target before repeating a source)
+    all_pairs = [(s, (s + k) % args.speakers)
+                 for k in range(1, args.speakers)
+                 for s in range(args.speakers)]
+    pairs = all_pairs[:min(args.pairs, len(all_pairs))]
 
-    toward = sum(1 for m in margins if m > 0)
+    recon_l1s, margins, rows = measure_pairs(
+        tr.model, variables, held, profs, cfg.vae.frames, pairs)
+
     result = {
         "metric": "full_size_mel_conversion_quality",
         "architecture": (f"frames=64 enc512 latent{cfg.vae.latent_dim}"
                          f"({cfg.vae.speaker_size}+"
                          f"{cfg.vae.latent_dim - cfg.vae.speaker_size})"),
+        "speakers": args.speakers,
         "epochs": args.epochs,
         "train_seconds": round(train_s, 1),
         "final_recon_per_frame": round(
             totals["mse_x1"] / (80 * cfg.vae.frames), 4),
         "holdout_recon_l1_mean": round(float(np.mean(recon_l1s)), 4),
-        "pairs_toward_target": f"{toward}/{len(margins)}",
+        "pairs_toward_target": f"{sum(1 for m in margins if m > 0)}"
+                               f"/{len(margins)}",
         "mean_direction_margin": round(float(np.mean(margins)), 4),
-        "pairs": pair_rows,
+        "pairs": rows,
     }
+
+    if args.fs_swap:
+        from dvc_tpu.convert.conversion import binarize_fs_mask
+        from dvc_tpu.train.feature_selection_trainer import (
+            FeatureSelectionTrainer)
+
+        fs_tr = FeatureSelectionTrainer(cfg.vae.latent_dim,
+                                        num_spk=args.speakers)
+        latents, labels = [], []
+        fs_bs = min(cfg.train.batch_size, max(1, len(ds)))
+        for x1, _x2, spk in ds.batches(fs_bs, shuffle=False):
+            latents.append(fs_tr.encode_latents(tr.model, variables, x1))
+            labels.append(spk)
+        latents = np.concatenate(latents)
+        labels = np.concatenate(labels)
+        fs_last = fs_tr.train(latents, labels, epochs=args.fs_epochs,
+                              logging_func=lambda s: print(s, file=sys.stderr))
+        sig_mask = fs_tr.feature_mask(latents)
+        mask = binarize_fs_mask(sig_mask, cfg.vae.speaker_size,
+                                args.fs_threshold)
+        _, fs_margins, fs_rows = measure_pairs(
+            tr.model, variables, held, profs, cfg.vae.frames, pairs,
+            fs_mask=mask)
+        result["fs"] = {
+            "classifier_acc": round(fs_last.get("acc", 0.0), 3),
+            "swap_dims": np.where(mask > 0)[0].tolist(),
+            "sigmoid_mask": [round(float(v), 3) for v in sig_mask],
+            "pairs_toward_target": f"{sum(1 for m in fs_margins if m > 0)}"
+                                   f"/{len(fs_margins)}",
+            "mean_direction_margin": round(float(np.mean(fs_margins)), 4),
+            "pairs": fs_rows,
+        }
+
     print(json.dumps(result))
     if args.out:
         with open(args.out, "w") as f:
