@@ -63,7 +63,7 @@ def _bucket(n: int) -> int:
 
 @dataclass
 class _Request:
-    mel: np.ndarray                       # (80, T)
+    payload: np.ndarray                   # mel (80, T) or raw wav (N,)
     trg_spk: str
     done: threading.Event = field(default_factory=threading.Event)
     result: np.ndarray | None = None
@@ -72,21 +72,18 @@ class _Request:
     t_submit: float = field(default_factory=time.monotonic)
 
 
-class ConversionService:
-    """Device-side conversion engine with a micro-batching worker."""
+class _MicroBatchService:
+    """Queue + worker scaffolding shared by the mel and WORLD services:
+    concurrent requests drain into one device batch (submit/_drain/_run);
+    subclasses implement _process(batch) and _cost(request)."""
 
-    def __init__(self, cfg: Config, model, variables, dataset_fp: str,
-                 vocoder=None, max_batch_chunks: int = 64,
-                 max_wait_ms: float = 10.0, max_queue: int = 256):
-        self.cfg = cfg
-        self.model = model
-        self.variables = variables
-        self.dataset_fp = dataset_fp
-        self.vocoder = vocoder
-        self.max_batch_chunks = max_batch_chunks
+    input_kind = "mel"        # what submit() expects ("mel" | "wav")
+    output_is_wav = False     # whether results are waveforms
+
+    def _start(self, max_wait_ms: float, max_queue: int,
+               max_batch_cost: int):
         self.max_wait_ms = max_wait_ms
-        self._style_cache: dict[str, jnp.ndarray] = {}
-        self._style_lock = threading.Lock()
+        self.max_batch_cost = max_batch_cost
         self._q: queue.Queue[_Request] = queue.Queue(maxsize=max_queue)
         self.stats = {"requests": 0, "batches": 0, "chunks": 0,
                       "errors": 0}
@@ -96,6 +93,96 @@ class ConversionService:
         self._stats_lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
+
+    def submit(self, payload: np.ndarray, trg_spk: str,
+               timeout: float = 120.0) -> np.ndarray:
+        req = _Request(payload=payload, trg_spk=trg_spk)
+        try:
+            self._q.put_nowait(req)
+        except queue.Full:
+            raise ServiceOverloaded(
+                f"request queue at capacity ({self._q.maxsize})") from None
+        if not req.done.wait(timeout):
+            # mark so the worker skips the device work for a reply nobody
+            # will read (otherwise abandoned retries deepen an overload)
+            req.abandoned = True
+            raise TimeoutError("conversion timed out")
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def _cost(self, req: _Request) -> int:
+        raise NotImplementedError
+
+    def _process(self, batch: list[_Request]) -> None:
+        raise NotImplementedError
+
+    def _drain(self) -> list[_Request]:
+        """One micro-batch: block for the first request, then keep draining
+        until the cost budget or the wait window is exhausted."""
+        first = self._q.get()
+        batch = [first]
+        cost = self._cost(first)
+        deadline = time.monotonic() + self.max_wait_ms / 1000.0
+        while cost < self.max_batch_cost:
+            remain = deadline - time.monotonic()
+            if remain <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=remain)
+            except queue.Empty:
+                break
+            batch.append(nxt)
+            cost += self._cost(nxt)
+        return batch
+
+    def _run(self):
+        while True:
+            batch = self._drain()
+            try:
+                self._process(batch)
+            except Exception as e:  # pragma: no cover - defensive
+                with self._stats_lock:
+                    self.stats["errors"] += len(batch)
+                for r in batch:
+                    r.error = e
+                    r.done.set()
+
+    def _fail_request(self, r: _Request, e: BaseException):
+        r.error = e
+        r.done.set()
+        with self._stats_lock:
+            self.stats["errors"] += 1
+
+    def _finish(self, owners: list[_Request], results: list[np.ndarray],
+                n_chunks: int):
+        now = time.monotonic()
+        for r, w in zip(owners, results):
+            r.result = np.asarray(w)
+            r.done.set()
+        with self._stats_lock:
+            self._latencies.extend(now - r.t_submit for r in owners)
+            del self._latencies[:-512]  # rolling window
+            self.stats["requests"] += len(owners)
+            self.stats["batches"] += 1
+            self.stats["chunks"] += n_chunks
+
+
+class ConversionService(_MicroBatchService):
+    """Device-side mel conversion engine with a micro-batching worker."""
+
+    def __init__(self, cfg: Config, model, variables, dataset_fp: str,
+                 vocoder=None, max_batch_chunks: int = 64,
+                 max_wait_ms: float = 10.0, max_queue: int = 256):
+        self.cfg = cfg
+        self.model = model
+        self.variables = variables
+        self.dataset_fp = dataset_fp
+        self.vocoder = vocoder
+        self.output_is_wav = vocoder is not None
+        self._style_cache: dict[str, jnp.ndarray] = {}
+        self._style_lock = threading.Lock()
+        self._start(max_wait_ms, max_queue, max_batch_chunks)
 
         frames = cfg.vae.frames
 
@@ -143,53 +230,8 @@ class ConversionService:
 
     # -- request path --------------------------------------------------------
 
-    def submit(self, mel: np.ndarray, trg_spk: str,
-               timeout: float = 120.0) -> np.ndarray:
-        req = _Request(mel=mel, trg_spk=trg_spk)
-        try:
-            self._q.put_nowait(req)
-        except queue.Full:
-            raise ServiceOverloaded(
-                f"request queue at capacity ({self._q.maxsize})") from None
-        if not req.done.wait(timeout):
-            # mark so the worker skips the device work for a reply nobody
-            # will read (otherwise abandoned retries deepen an overload)
-            req.abandoned = True
-            raise TimeoutError("conversion timed out")
-        if req.error is not None:
-            raise req.error
-        return req.result
-
-    def _drain(self) -> list[_Request]:
-        """One micro-batch: block for the first request, then keep draining
-        until the chunk budget or the wait window is exhausted."""
-        first = self._q.get()
-        batch = [first]
-        chunks = num_chunks(first.mel.shape[1], self._frames)
-        deadline = time.monotonic() + self.max_wait_ms / 1000.0
-        while chunks < self.max_batch_chunks:
-            remain = deadline - time.monotonic()
-            if remain <= 0:
-                break
-            try:
-                nxt = self._q.get(timeout=remain)
-            except queue.Empty:
-                break
-            batch.append(nxt)
-            chunks += num_chunks(nxt.mel.shape[1], self._frames)
-        return batch
-
-    def _run(self):
-        while True:
-            batch = self._drain()
-            try:
-                self._process(batch)
-            except Exception as e:  # pragma: no cover - defensive
-                with self._stats_lock:
-                    self.stats["errors"] += len(batch)
-                for r in batch:
-                    r.error = e
-                    r.done.set()
+    def _cost(self, req: _Request) -> int:
+        return num_chunks(req.payload.shape[1], self._frames)
 
     def _process(self, batch: list[_Request]):
         frames = self._frames
@@ -203,12 +245,9 @@ class ConversionService:
             except Exception as e:
                 # per-request failure (unknown speaker, corrupt mel on
                 # disk, ...) must not poison the co-batched requests
-                r.error = e
-                r.done.set()
-                with self._stats_lock:
-                    self.stats["errors"] += 1
+                self._fail_request(r, e)
                 continue
-            c = chunk_mel(jnp.asarray(r.mel, jnp.float32), frames)
+            c = chunk_mel(jnp.asarray(r.payload, jnp.float32), frames)
             spans.append((r, offset, c.shape[0]))
             offset += c.shape[0]
             all_chunks.append(c)
@@ -241,19 +280,201 @@ class ConversionService:
                 else [self.vocoder(m) for m in mels]
         else:
             wavs = mels  # mel-out mode (no vocoder): return the mel itself
-        now = time.monotonic()
-        for r, w in zip(owners, wavs):
-            r.result = np.asarray(w)
-            r.done.set()
-        with self._stats_lock:
-            self._latencies.extend(now - r.t_submit for r in owners)
-            del self._latencies[:-512]  # rolling window
-            self.stats["requests"] += len(owners)
-            self.stats["batches"] += 1
-            self.stats["chunks"] += n
+        self._finish(owners, wavs, n)
 
 
-def make_http_server(service: ConversionService, host: str = "127.0.0.1",
+class WorldConversionService(_MicroBatchService):
+    """`serve --pipeline world`: the MCC/WORLD conversion route, batched.
+
+    The reference's WORLD path (preprocessing/WORLD_processing.py:99-106)
+    is an offline per-utterance loop; here every stage of the drained
+    micro-batch runs corpus-batched on the accelerator:
+
+      wav bytes -> device WORLD analysis (ops/world.world_decompose_batch:
+      batched Harvest + CheapTrick + mcep) -> per-utterance MCC
+      normalization -> ONE chunk-axis VAE pass (target style latent from
+      the speaker's preprocessed corpus, source content per chunk;
+      convert_mcc semantics: decode only, no postnet/clip) -> target-space
+      denormalization + mc2sp -> log-Gaussian pitch transform
+      (WORLD_processing.py:187-192; source log-f0 stats fitted on the
+      incoming utterance itself, since the serving client's speaker corpus
+      is unknown) -> ops/world.synthesize_batch (bucketed device OLA
+      synthesis).
+
+    dataset_fp is a data/world_preprocess.py output dir: per-speaker npz
+    subdirs plus log_f0_<spk>.npz / mcep_<spk>.npz stats files.
+    """
+
+    input_kind = "wav"
+    output_is_wav = True
+    vocoder = None  # synthesis is built in
+
+    def __init__(self, cfg: Config, model, variables, dataset_fp: str,
+                 sample_rate: int = 16_000, frame_period: float = 5.0,
+                 max_batch_utts: int = 16, max_wait_ms: float = 10.0,
+                 max_queue: int = 256):
+        self.cfg = cfg
+        self.model = model
+        self.variables = variables
+        self.dataset_fp = dataset_fp
+        self.fs = sample_rate
+        self.frame_period = frame_period
+        self._frames = cfg.vae.frames
+        self._n_mcep = cfg.vae.num_mels
+        self._asset_cache: dict[str, tuple] = {}
+        self._asset_lock = threading.Lock()
+
+        model_ = model
+        variables_ = variables
+
+        @jax.jit
+        def _convert(chunks, styles):
+            # chunks (N, n_mcep, F), styles (N, S): convert_mcc semantics
+            # (convert/world_conversion.py:35-57) — decode only
+            _, _, content_mu, _ = model_.apply(variables_, chunks,
+                                               method="encode")
+            z = jnp.concatenate([styles, content_mu], axis=-1)
+            return model_.apply(variables_, z, method="decode")
+
+        @jax.jit
+        def _style_of(chunks):
+            style_mu, _, _, _ = model_.apply(variables_, chunks,
+                                             method="encode")
+            return jnp.mean(style_mu, axis=0)
+
+        self._convert = _convert
+        self._style_of = _style_of
+        self._start(max_wait_ms, max_queue, max_batch_utts)
+
+    # -- target speaker assets ------------------------------------------
+
+    def speakers(self) -> list[str]:
+        return sorted(d for d in os.listdir(self.dataset_fp)
+                      if os.path.isdir(os.path.join(self.dataset_fp, d)))
+
+    def target_assets(self, spk: str):
+        """(style latent, mcep stats dict, logf0 stats dict), cached."""
+        with self._asset_lock:
+            hit = self._asset_cache.get(spk)
+            if hit is not None:
+                return hit
+        fps = sorted(glob(os.path.join(self.dataset_fp, spk, "*.npz")))
+        if not fps:
+            raise KeyError(f"unknown target speaker {spk!r}")
+        chunks = [chunk_mel(jnp.asarray(
+            np.load(fp)["normalized_mc"].T, jnp.float32), self._frames)
+            for fp in fps]
+        style = self._style_of(jnp.concatenate(chunks, axis=0))
+        mcep = dict(np.load(os.path.join(self.dataset_fp,
+                                         f"mcep_{spk}.npz")))
+        logf0 = dict(np.load(os.path.join(self.dataset_fp,
+                                          f"log_f0_{spk}.npz")))
+        assets = (style, mcep, logf0)
+        with self._asset_lock:
+            self._asset_cache[spk] = assets
+        return assets
+
+    # -- request path ----------------------------------------------------
+
+    def _cost(self, req: _Request) -> int:
+        return 1  # utterances; analysis cost scales with total duration
+
+    def _process(self, batch: list[_Request]):
+        from dvc_tpu.ops.world import (
+            cheaptrick_fft_size,
+            logf0_statistics,
+            mc2sp,
+            mcepalpha,
+            pitch_conversion,
+            synthesize_batch,
+            world_decompose_batch,
+        )
+
+        live = []
+        for r in batch:
+            if r.abandoned:
+                continue
+            try:
+                assets = self.target_assets(r.trg_spk)
+            except Exception as e:
+                self._fail_request(r, e)
+                continue
+            live.append((r, assets))
+        if not live:
+            return
+
+        # 1. batched device analysis
+        feats = world_decompose_batch([np.asarray(r.payload, np.float32)
+                                       for r, _ in live],
+                                      self.fs, self.frame_period,
+                                      num_mcep=self._n_mcep,
+                                      keep_sp_ap=False)
+
+        # 2. per-utterance normalization + chunking -> one VAE batch
+        all_chunks, styles, spans, norms = [], [], [], []
+        offset = 0
+        for (r, (style, _, _)), (f0, _, _, _, mc) in zip(live, feats):
+            mean = mc.mean(axis=0, keepdims=True)
+            std = np.maximum(mc.std(axis=0, keepdims=True), 1e-6)
+            norm = ((mc - mean) / std).T.astype(np.float32)  # (n_mcep, T)
+            c = chunk_mel(jnp.asarray(norm), self._frames)
+            spans.append((offset, c.shape[0], norm.shape[1]))
+            norms.append((f0, mean, std))
+            offset += c.shape[0]
+            all_chunks.append(c)
+            styles.append(jnp.broadcast_to(style[None, :],
+                                           (c.shape[0], style.shape[-1])))
+        chunks = jnp.concatenate(all_chunks, axis=0)
+        style_arr = jnp.concatenate(styles, axis=0)
+        n = chunks.shape[0]
+        nb = _bucket(max(n, 1))
+        if nb > n:
+            chunks = jnp.concatenate(
+                [chunks, jnp.zeros((nb - n,) + chunks.shape[1:],
+                                   chunks.dtype)], axis=0)
+            style_arr = jnp.concatenate(
+                [style_arr, jnp.zeros((nb - n, style_arr.shape[-1]),
+                                      style_arr.dtype)], axis=0)
+        out = np.asarray(self._convert(chunks, style_arr))[:n]
+
+        # 3. denorm (target stats), mc2sp, pitch transform, batch synth
+        alpha = mcepalpha(self.fs)
+        fft_size = cheaptrick_fft_size(self.fs)
+        f0s, sps, aps, owners = [], [], [], []
+        for (r, (_, mcep_stats, trg_lf0)), (start, count, t), \
+                (f0, _, _) in zip(live, spans, norms):
+            conv = out[start:start + count]            # (count, n_mcep, F)
+            conv = conv.transpose(1, 0, 2).reshape(conv.shape[1], -1)[:, :t]
+            mc = conv.T * np.asarray(mcep_stats["std"]).T \
+                + np.asarray(mcep_stats["mean"]).T     # (T, n_mcep)
+            sp = np.asarray(mc2sp(jnp.asarray(mc, jnp.float32), alpha,
+                                  fft_size))
+            voiced = f0 > 0
+            f0_conv = np.zeros_like(f0)
+            if voiced.any():
+                src_mean, src_std = logf0_statistics(f0)
+                if np.isfinite(src_std) and src_std > 1e-6:
+                    f0_conv[voiced] = pitch_conversion(
+                        f0[voiced], src_mean, src_std,
+                        float(trg_lf0["mean"]), float(trg_lf0["std"]))
+                else:  # monotone input: shift to the target mean pitch
+                    f0_conv[voiced] = np.exp(float(trg_lf0["mean"]))
+            ap = np.full((t, sp.shape[1]), 0.2, np.float32)
+            ap[~voiced[:t]] = 1.0 - 1e-12
+            f0s.append(f0_conv[:t])
+            sps.append(sp[:t])
+            aps.append(ap)
+            owners.append(r)
+
+        wavs = synthesize_batch(f0s, sps, aps, self.fs, self.frame_period)
+        results = []
+        for w in wavs:
+            peak = np.abs(w).max()
+            results.append(w / peak * 0.95 if peak > 1e-8 else w)
+        self._finish(owners, results, n)
+
+
+def make_http_server(service: _MicroBatchService, host: str = "127.0.0.1",
                      port: int = 7860) -> ThreadingHTTPServer:
     from dvc_tpu.ops.mel import melspectrogram
     from dvc_tpu.ops.stft import num_frames
@@ -343,8 +564,9 @@ def make_http_server(service: ConversionService, host: str = "127.0.0.1",
                     from dvc_tpu.ops.audio import resample_poly
                     wav = np.asarray(resample_poly(jnp.asarray(wav), sr,
                                                    audio_cfg.sample_rate))
-                mel = mel_fn(np.asarray(wav, np.float32))
-                out = service.submit(mel, trg)
+                wav = np.asarray(wav, np.float32)
+                payload = mel_fn(wav) if service.input_kind == "mel" else wav
+                out = service.submit(payload, trg)
             except KeyError as e:
                 # speaker dir listed but empty, or removed after the check
                 self._json(404, {"error": str(e)})
@@ -355,7 +577,7 @@ def make_http_server(service: ConversionService, host: str = "127.0.0.1",
             except Exception as e:
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
                 return
-            if service.vocoder is None:
+            if not service.output_is_wav:
                 # mel-out mode: npy bytes
                 buf = io.BytesIO()
                 np.save(buf, out)

@@ -177,6 +177,84 @@ class TestServiceDirect:
         np.testing.assert_allclose(outs[1], solo, rtol=2e-5, atol=1e-6)
 
 
+class TestWorldService:
+    """serve --pipeline world: wav in -> batched WORLD analysis -> MCC
+    latent swap -> device synthesis -> wav out."""
+
+    @pytest.fixture(scope="class")
+    def world_service(self, tmp_path_factory):
+        from dvc_tpu.serve import WorldConversionService
+
+        cfg = Config(vae=VAEConfig(num_mels=36, frames=32, dim_neck=8,
+                                   enc_channels=32, dim_pre=32,
+                                   dec_lstm2_hidden=32,
+                                   postnet_channels=32))
+        model = DisentangledVAE(cfg.vae)
+        rng = jax.random.PRNGKey(0)
+        x = jnp.zeros((2, 36, 32), jnp.float32)
+        variables = model.init({"params": rng, "reparam": rng}, x, x,
+                               train=True)
+        variables = {"params": variables["params"],
+                     "batch_stats": variables["batch_stats"]}
+
+        world_dir = tmp_path_factory.mktemp("world")
+        np_rng = np.random.RandomState(0)
+        for spk in ("w1", "w2"):
+            d = world_dir / spk
+            d.mkdir()
+            for i in range(2):
+                t = 40 + 5 * i
+                np.savez(d / f"u{i}.npz",
+                         f0=np.abs(np_rng.rand(t) * 100 + 100),
+                         normalized_mc=np_rng.randn(t, 36)
+                         .astype(np.float32))
+            np.savez(world_dir / f"log_f0_{spk}.npz",
+                     mean=5.0 + 0.1 * ord(spk[-1]), std=0.2)
+            np.savez(world_dir / f"mcep_{spk}.npz",
+                     mean=np_rng.randn(36, 1) * 0.1,
+                     std=np.abs(np_rng.rand(36, 1)) + 0.5)
+        return WorldConversionService(cfg, model, variables,
+                                      str(world_dir), max_wait_ms=300.0)
+
+    def test_speakers_and_unknown(self, world_service):
+        assert world_service.speakers() == ["w1", "w2"]
+        with pytest.raises(KeyError, match="unknown target speaker"):
+            world_service.submit(
+                np.random.rand(6000).astype(np.float32), "nope")
+
+    def test_wav_roundtrip(self, world_service):
+        t = np.arange(6000) / 16000.0
+        wav = (0.4 * np.sin(2 * np.pi * 160 * t * (1 + 0.02 * np.sin(
+            2 * np.pi * 3 * t)))).astype(np.float32)
+        out = world_service.submit(wav, "w1")
+        n_frames = 6000 // 80 + 1
+        assert out.shape == (n_frames * 80,)
+        assert np.isfinite(out).all()
+        assert np.abs(out).max() <= 0.951
+
+    def test_micro_batching(self, world_service):
+        before = dict(world_service.stats)
+        t = np.arange(6000) / 16000.0
+        wavs = [(0.4 * np.sin(2 * np.pi * (140 + 30 * i) * t))
+                .astype(np.float32) for i in range(3)]
+        results = [None] * 3
+
+        def worker(i):
+            results[i] = world_service.submit(wavs[i],
+                                              ["w1", "w2", "w1"][i])
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(3)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert all(r is not None and np.isfinite(r).all() for r in results)
+        dreq = world_service.stats["requests"] - before["requests"]
+        dbat = world_service.stats["batches"] - before["batches"]
+        assert dreq == 3 and dbat < dreq
+
+
 class TestHTTP:
     def test_health(self, server):
         code, body = _get(server + "/health")
