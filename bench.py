@@ -75,6 +75,82 @@ def _step_flops(step, state, x1, x2, rng) -> float | None:
         return None
 
 
+def _lstm_flops_per_step(cfg) -> float:
+    """Analytic matmul FLOPs of the recurrent (serial-scan) layers in ONE
+    pair train step.  The pair-fused forward runs every LSTM once at batch
+    2*BATCH over frames timesteps; backward through a matmul is the usual
+    trio (fwd + dgrad + wgrad ~ 3x fwd).  Layer list mirrors
+    models/disentangled_vae.py (enc 2-layer biLSTM, dec lstm1, dec lstm2
+    x2)."""
+    v = cfg.vae
+    layers = [  # (input_dim, hidden, n_directions)
+        (v.enc_channels, v.dim_neck, 2),
+        (2 * v.dim_neck, v.dim_neck, 2),
+        (2 * v.dim_neck, v.dim_pre, 1),
+        (v.dim_pre, v.dec_lstm2_hidden, 1),
+        (v.dec_lstm2_hidden, v.dec_lstm2_hidden, 1),
+    ]
+    fwd = sum(nd * 2.0 * (i * 4 * h + h * 4 * h) for i, h, nd in layers) \
+        * v.frames * (2 * BATCH)
+    return 3.0 * fwd
+
+
+def _measure_rates(compute_dtype: str) -> tuple[float, float]:
+    """(r_lstm, r_big): sustained TFLOP/s of (a) a train-shaped LSTM
+    value_and_grad at the model's dominant recurrent shape (I=H=1024,
+    B=2*BATCH, T=FRAMES — dec lstm2) and (b) a large dense matmul.  Both
+    timed value-fetch-closed (this environment's block_until_ready acks
+    early) with several dispatches queued per fetch to amortize the ~27 ms
+    tunnel dispatch floor."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from dvc_tpu.models.layers import LSTM
+
+    dt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+
+    # -- serial-scan attainable rate ------------------------------------
+    i_dim = h_dim = 1024
+    b2, t = 2 * BATCH, FRAMES
+    mod = LSTM(h_dim, dtype=dt)
+    x = jnp.asarray(np.random.RandomState(2).rand(b2, t, i_dim), jnp.float32)
+    variables = mod.init(jax.random.PRNGKey(0), x)
+
+    def loss(v, xx):
+        y, _ = mod.apply(v, xx)
+        return jnp.sum(jnp.square(y.astype(jnp.float32)))
+
+    g = jax.jit(jax.grad(loss))
+    flops_call = 3.0 * 2.0 * (i_dim * 4 * h_dim + h_dim * 4 * h_dim) * t * b2
+    grads = g(variables, x)
+    float(jax.tree_util.tree_leaves(grads)[0].reshape(-1)[0])  # warm + sync
+    n = 4
+    t0 = time.perf_counter()
+    for _ in range(n):
+        grads = g(variables, x)
+    float(jax.tree_util.tree_leaves(grads)[0].reshape(-1)[0])
+    r_lstm = flops_call * n / (time.perf_counter() - t0) / 1e12
+
+    # -- large-matmul attainable rate ------------------------------------
+    k = 4096
+    a = jnp.asarray(np.random.RandomState(3).rand(k, k), dt)
+
+    @jax.jit
+    def mm(a0):
+        def body(_, acc):
+            return jnp.dot(acc, a0, preferred_element_type=jnp.float32
+                           ).astype(dt)
+        return lax.fori_loop(0, 8, body, a0)
+
+    float(mm(a).astype(jnp.float32)[0, 0])  # warm + sync
+    t0 = time.perf_counter()
+    out = mm(a)
+    float(out.astype(jnp.float32)[0, 0])
+    r_big = 8 * 2.0 * k ** 3 / (time.perf_counter() - t0) / 1e12
+    return r_lstm, r_big
+
+
 def bench_jax() -> tuple[float, float | None, str]:
     import jax
     import jax.numpy as jnp
@@ -111,8 +187,34 @@ def bench_jax() -> tuple[float, float | None, str]:
     dt = (time.perf_counter() - t0) / ITERS
     frames_per_step = 2 * BATCH * FRAMES
     device_kind = jax.devices()[0].device_kind
+
+    # roofline decomposition (VERDICT r3 weak-item 6): what MFU COULD this
+    # architecture reach on this chip?  attainable step time = serial-scan
+    # FLOPs at the measured LSTM-microbench rate + everything else at the
+    # measured large-matmul rate; mfu_attainable = flops/(t_attain*peak).
+    # pct_of_attainable = t_attain/dt separates "chip half idle" from
+    # "the architecture's serial scans cap it".
+    roofline = None
+    if flops:
+        try:
+            print("bench: roofline microbenches (lstm + matmul)...",
+                  file=sys.stderr, flush=True)
+            r_lstm, r_big = _measure_rates(cfg.train.compute_dtype)
+            flops_lstm = min(_lstm_flops_per_step(cfg), flops)
+            t_attain = (flops_lstm / (r_lstm * 1e12)
+                        + (flops - flops_lstm) / (r_big * 1e12))
+            roofline = {
+                "lstm_tflops_sustained": round(r_lstm, 2),
+                "matmul_tflops_sustained": round(r_big, 2),
+                "flops_lstm_frac": round(flops_lstm / flops, 4),
+                "attainable_tflops": round(flops / t_attain / 1e12, 2),
+                "pct_of_attainable": round(t_attain / dt, 4),
+            }
+        except Exception as e:
+            print(f"bench: roofline decomposition failed: {e}",
+                  file=sys.stderr)
     tflops = (flops / dt / 1e12) if flops else None
-    return frames_per_step / dt, tflops, device_kind
+    return frames_per_step / dt, tflops, device_kind, roofline
 
 
 def bench_torch_baseline() -> float:
@@ -241,7 +343,7 @@ def bench_torch_baseline() -> float:
 def main():
     # progress markers go to stderr; stdout stays the single JSON line
     print("bench: jax train-step measurement...", file=sys.stderr, flush=True)
-    jax_fps, achieved_tflops, device_kind = bench_jax()
+    jax_fps, achieved_tflops, device_kind, roofline = bench_jax()
     print(f"bench: jax done ({jax_fps:.0f} frames/s); torch baseline "
           f"({'cached' if os.path.exists(CACHE) else 'measuring, minutes on CPU'})...",
           file=sys.stderr, flush=True)
@@ -253,7 +355,9 @@ def main():
     vs = (jax_fps / base_fps) if base_fps else None
     peak = _peak_tflops(device_kind)
     mfu = (achieved_tflops / peak) if (achieved_tflops and peak) else None
-    print(json.dumps({
+    mfu_attainable = (roofline["attainable_tflops"] / peak) \
+        if (roofline and peak) else None
+    out = {
         "metric": "vae_train_mel_frames_per_sec_per_chip",
         "value": round(jax_fps, 1),
         "unit": "frames/sec",
@@ -261,7 +365,11 @@ def main():
         "device_kind": device_kind,
         "achieved_tflops": round(achieved_tflops, 2) if achieved_tflops else None,
         "mfu": round(mfu, 4) if mfu else None,
-    }))
+        "mfu_attainable": round(mfu_attainable, 4) if mfu_attainable else None,
+    }
+    if roofline:
+        out.update(roofline)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
