@@ -819,6 +819,233 @@ int dvc_harvest(const float* x, long n, int fs, double frame_period_ms,
                            f0_out, 4);
 }
 
+// ------------------------------------------------------------- DIO --------
+// DIO F0 estimation (Morise et al. 2009/2010 — the method behind
+// pyworld.dio, the reference's pitch extractor at
+// /root/reference/preprocessing/utils.py:183-192).  Pipeline: decimate to
+// ~8 kHz -> per-band Nuttall low-pass at log-spaced boundary f0s
+// (channels_in_octave, pyworld default 2.0) -> four interval-based period
+// detectors (falling/rising zero crossings, peaks, dips) evaluated
+// directly at the OUTPUT frame grid (unlike Harvest's 1 ms internal grid)
+// -> per-band candidate = mean of the four intervals, scored by their
+// relative deviation (the band whose low-pass leaves a near-sinusoid at
+// the true f0 wins) -> jump removal at `allowed_range` per frame (pyworld
+// default 0.1), short-run removal (voice_range_minimum frames, the
+// 2/f0_floor-seconds rule), candidate-pool extension.  DIO ships no
+// contour smoothing (StoneMask refines afterwards), so none is applied.
+// Numeric agreement with pyworld.dio is gated by the golden scaffold
+// (tools/gen_dio_golden.py; zero egress blocks fixtures here); behavioral
+// agreement by tests/test_dio.py truth/noise/Harvest-consistency gates.
+int dvc_dio(const float* x, long n, int fs, double frame_period_ms,
+            double f0_floor, double f0_ceil, double channels_in_octave,
+            double allowed_range, double* f0_out) {
+  if (!x || !f0_out || n < 64 || fs <= 0) return -1;
+  if (!(f0_floor > 0.0) || !(f0_ceil > f0_floor) ||
+      !(frame_period_ms > 0.0) || !(channels_in_octave > 0.0) ||
+      !(allowed_range > 0.0))
+    return -1;
+
+  int ratio = std::max(1, fs / 8000);
+  std::vector<double> y = decimate(x, n, ratio);
+  double afs = static_cast<double>(fs) / ratio;
+  double mean = 0.0;
+  for (double v : y) mean += v;
+  mean /= std::max<size_t>(1, y.size());
+  for (double& v : y) v -= mean;
+
+  int n_out = dvc_harvest_frames(n, fs, frame_period_ms);
+  int n_bands =
+      1 + static_cast<int>(std::log2(f0_ceil / f0_floor) *
+                           channels_in_octave);
+
+  // spectrum once; per-band low-pass is a spectral multiply (the longest
+  // impulse is ~2 periods of the lowest boundary f0)
+  int margin = static_cast<int>(2.0 * afs / f0_floor) + 2;
+  int fft_size = next_pow2(static_cast<long>(y.size()) + 2L * margin);
+  std::vector<double> yre(fft_size, 0.0), yim(fft_size, 0.0);
+  for (size_t i = 0; i < y.size(); ++i) yre[i] = y[i];
+  fft_inplace(yre.data(), yim.data(), fft_size);
+
+  // candidate grid: (n_out, n_bands) f0 + deviation score (lower better)
+  std::vector<double> cf0(static_cast<size_t>(n_out) * n_bands, 0.0);
+  std::vector<double> cdev(static_cast<size_t>(n_out) * n_bands, 1e30);
+
+  parallel_for(n_bands, [&](long b) {
+    double boundary = f0_floor * std::pow(2.0, (b + 1) / channels_in_octave);
+    int half = static_cast<int>(afs / boundary + 0.5);
+    int flen = 2 * half + 1;
+    if (flen >= fft_size) return;
+    // Nuttall-window low-pass (main-lobe cutoff ~ the boundary f0) with
+    // the filter delay compensated by reading at i + half
+    std::vector<double> fre(fft_size, 0.0), fim(fft_size, 0.0);
+    for (int i = 0; i < flen; ++i)
+      fre[i] = nuttall(static_cast<double>(i) / (flen - 1));
+    fft_inplace(fre.data(), fim.data(), fft_size);
+    for (int k = 0; k < fft_size; ++k) {
+      double re = yre[k] * fre[k] - yim[k] * fim[k];
+      double im = yre[k] * fim[k] + yim[k] * fre[k];
+      fre[k] = re;
+      fim[k] = im;
+    }
+    fft_inplace(fre.data(), fim.data(), fft_size, /*inverse=*/true);
+    std::vector<double> filtered(y.size());
+    for (size_t i = 0; i < y.size(); ++i) {
+      size_t j = i + half;
+      filtered[i] = (j < static_cast<size_t>(fft_size)) ? fre[j] : 0.0;
+    }
+
+    // four event trains (shared helpers with Harvest: falling/rising
+    // zero crossings of the signal; peaks/dips via its first difference)
+    EventTrack tr[4];
+    {
+      const size_t m = filtered.size();
+      std::vector<double> locs[4];
+      auto dif_at = [&](size_t i) -> double {
+        return (i + 1 < m) ? filtered[i + 1] - filtered[i] : 0.0;
+      };
+      double da = dif_at(0);
+      for (size_t i = 0; i + 1 < m; ++i) {
+        double a = filtered[i], bb = filtered[i + 1];
+        if (a > 0.0 && bb <= 0.0)
+          locs[0].push_back((i + a / (a - bb)) / afs);
+        if (a < 0.0 && -bb <= 0.0)
+          locs[1].push_back((i + a / (a - bb)) / afs);
+        double db = dif_at(i + 1);
+        if (da > 0.0 && db <= 0.0)
+          locs[2].push_back((i + da / (da - db)) / afs);
+        if (da < 0.0 && -db <= 0.0)
+          locs[3].push_back((i + da / (da - db)) / afs);
+        da = db;
+      }
+      for (int e = 0; e < 4; ++e)
+        for (size_t k = 0; k + 1 < locs[e].size(); ++k) {
+          double iv = locs[e][k + 1] - locs[e][k];
+          if (iv <= 0) continue;
+          tr[e].t.push_back(0.5 * (locs[e][k] + locs[e][k + 1]));
+          tr[e].f0.push_back(1.0 / iv);
+        }
+    }
+
+    size_t cur[4] = {1, 1, 1, 1};
+    auto interp_march = [&](int e, double t) -> double {
+      const EventTrack& trk = tr[e];
+      if (trk.t.size() < 2 || t < trk.t.front() || t > trk.t.back())
+        return 0.0;
+      size_t& j = cur[e];
+      if (j >= trk.t.size()) j = trk.t.size() - 1;
+      while (j > 1 && trk.t[j - 1] >= t) --j;
+      while (j < trk.t.size() - 1 && trk.t[j] < t) ++j;
+      double t0 = trk.t[j - 1], t1 = trk.t[j];
+      double a = (t1 > t0) ? (t - t0) / (t1 - t0) : 0.0;
+      return trk.f0[j - 1] * (1.0 - a) + trk.f0[j] * a;
+    };
+    for (int i = 0; i < n_out; ++i) {
+      double t = i * frame_period_ms / 1000.0;
+      double v[4], s = 0.0;
+      bool ok = true;
+      for (int e = 0; e < 4; ++e) {
+        v[e] = interp_march(e, t);
+        if (v[e] <= 0.0) {
+          ok = false;
+          break;
+        }
+        s += v[e];
+      }
+      if (!ok) continue;
+      double m4 = s / 4.0;
+      double dev = 0.0;
+      for (int e = 0; e < 4; ++e) dev += (v[e] - m4) * (v[e] - m4);
+      dev = std::sqrt(dev / 3.0) / m4;
+      // a band can only detect pitches below its own low-pass cutoff
+      if (m4 < f0_floor || m4 > f0_ceil || m4 > boundary * 1.2) continue;
+      cf0[static_cast<size_t>(i) * n_bands + b] = m4;
+      cdev[static_cast<size_t>(i) * n_bands + b] = dev;
+    }
+  });
+
+  // best (most stable) candidate per frame; unstable frames are unvoiced
+  std::vector<double> f0(n_out, 0.0);
+  for (int i = 0; i < n_out; ++i) {
+    double best_dev = 0.2, best_f = 0.0;  // stability cutoff as Harvest's
+    for (int b = 0; b < n_bands; ++b) {
+      double d = cdev[static_cast<size_t>(i) * n_bands + b];
+      if (d < best_dev) {
+        best_dev = d;
+        best_f = cf0[static_cast<size_t>(i) * n_bands + b];
+      }
+    }
+    f0[i] = best_f;
+  }
+
+  // Step 1: jump removal at allowed_range per FRAME (pyworld default 0.1)
+  std::vector<double> step1(f0);
+  for (int i = 1; i < n_out; ++i)
+    if (f0[i] > 0.0 && f0[i - 1] > 0.0 &&
+        std::fabs(f0[i] - f0[i - 1]) / f0[i] > allowed_range)
+      step1[i] = 0.0;
+
+  // Step 2: drop voiced runs shorter than voice_range_minimum
+  int min_run =
+      static_cast<int>(0.5 + 2000.0 / frame_period_ms / f0_floor) + 1;
+  std::vector<double> step2(step1);
+  {
+    int run_start = -1;
+    for (int i = 0; i <= n_out; ++i) {
+      bool v = (i < n_out) && step1[i] > 0.0;
+      if (v && run_start < 0) run_start = i;
+      if (!v && run_start >= 0) {
+        if (i - run_start < min_run)
+          for (int k = run_start; k < i; ++k) step2[k] = 0.0;
+        run_start = -1;
+      }
+    }
+  }
+
+  // Steps 3/4: extend voiced sections through the candidate pool
+  auto best_match = [&](int frame, double ref) -> double {
+    if (frame < 0 || frame >= n_out) return 0.0;
+    double best_sc = 0.0, best_f = 0.0;
+    for (int b = 0; b < n_bands; ++b) {
+      double c = cf0[static_cast<size_t>(frame) * n_bands + b];
+      if (c <= 0.0) continue;
+      if (std::fabs(c - ref) / ref > allowed_range) continue;
+      double sc = 1.0 / (kEps + std::fabs(c - ref));
+      if (sc > best_sc) {
+        best_sc = sc;
+        best_f = c;
+      }
+    }
+    return best_f;
+  };
+  for (int i = 1; i < n_out; ++i) {
+    if (!(step2[i - 1] > 0.0 && step2[i] == 0.0)) continue;
+    double ref = step2[i - 1];
+    for (int k = i; k < std::min(n_out, i + 20); ++k) {
+      if (step2[k] > 0.0) break;
+      double m = best_match(k, ref);
+      if (m <= 0.0) break;
+      step2[k] = m;
+      ref = m;
+    }
+  }
+  for (int i = n_out - 2; i >= 0; --i) {
+    if (!(step2[i + 1] > 0.0 && step2[i] == 0.0)) continue;
+    double ref = step2[i + 1];
+    for (int k = i; k > std::max(-1, i - 20); --k) {
+      if (step2[k] > 0.0) break;
+      double m = best_match(k, ref);
+      if (m <= 0.0) break;
+      step2[k] = m;
+      ref = m;
+    }
+  }
+
+  for (int i = 0; i < n_out; ++i)
+    f0_out[i] = (step2[i] >= f0_floor && step2[i] <= f0_ceil) ? step2[i]
+                                                              : 0.0;
+  return n_out;
+}
+
 // D4C band aperiodicity.  ap_out must hold n_frames * (fft_size_out/2 + 1)
 // doubles ((frame, bin) row-major, like pyworld.d4c's output grid).
 // `threshold` is the LoveTrain voicing cutoff (pyworld default 0.85; pass

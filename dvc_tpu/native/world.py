@@ -36,6 +36,11 @@ def _load():
         ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_int,
         ctypes.c_double, ctypes.c_double, ctypes.c_double,
         ctypes.POINTER(ctypes.c_double)]
+    lib.dvc_dio.restype = ctypes.c_int
+    lib.dvc_dio.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_int,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.POINTER(ctypes.c_double)]
     lib.dvc_d4c.restype = ctypes.c_int
     lib.dvc_d4c.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_int,
@@ -76,6 +81,38 @@ def harvest(wav: np.ndarray, fs: int, frame_period: float = 5.0,
         f0.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
     if got != n_out:
         raise RuntimeError(f"native harvest failed ({got})")
+    timeaxis = np.arange(n_out, dtype=np.float64) * frame_period / 1000.0
+    return f0, timeaxis
+
+
+def dio(wav: np.ndarray, fs: int, frame_period: float = 5.0,
+        f0_floor: float = 71.0, f0_ceil: float = 800.0,
+        channels_in_octave: float = 2.0, allowed_range: float = 0.1
+        ) -> tuple[np.ndarray, np.ndarray]:
+    """(T,) waveform -> (f0, timeaxis) at frame_period ms — the DIO method
+    behind pyworld.dio (the reference's pitch extractor,
+    preprocessing/utils.py:183-192; pyworld defaults: channels_in_octave
+    2.0, allowed_range 0.1).  Implemented from the Morise DIO papers in
+    native/dvc_world.cpp:dvc_dio; pyworld bit-agreement is golden-gated
+    when fixtures land (tools/gen_dio_golden.py)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native WORLD library unavailable")
+    if not (frame_period > 0.0 and 0.0 < f0_floor < f0_ceil
+            and channels_in_octave > 0.0 and allowed_range > 0.0):
+        raise RuntimeError(
+            f"invalid dio parameters: frame_period={frame_period}, "
+            f"f0 band [{f0_floor}, {f0_ceil}], cio={channels_in_octave}, "
+            f"allowed_range={allowed_range}")
+    wav = np.ascontiguousarray(wav, np.float32)
+    n_out = lib.dvc_harvest_frames(len(wav), fs, frame_period)
+    f0 = np.zeros(n_out, np.float64)
+    got = lib.dvc_dio(
+        wav.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(wav), fs,
+        frame_period, f0_floor, f0_ceil, channels_in_octave, allowed_range,
+        f0.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    if got != n_out:
+        raise RuntimeError(f"native dio failed ({got})")
     timeaxis = np.arange(n_out, dtype=np.float64) * frame_period / 1000.0
     return f0, timeaxis
 
