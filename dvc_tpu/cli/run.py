@@ -159,10 +159,49 @@ def cmd_convert(args) -> int:
     converter = VoiceConverter(cfg, trainer.model, variables, seed=args.seed,
                                long_context=args.long_context,
                                fs_mask=fs_mask)
+    gen_dir = os.path.join(args.log_dir, "generation")
     converter.convert_speaker_pair(
-        args.dataset_fp, args.src_spk, args.trg_spk,
-        os.path.join(args.log_dir, "generation"),
+        args.dataset_fp, args.src_spk, args.trg_spk, gen_dir,
         num_utterances=args.num_utterances, vocoder=vocoder)
+
+    if getattr(args, "analyze", False):
+        # latent-analysis artifacts (reference model/plot.py:23-55 computes
+        # this figure but no entry point ever calls it): per-speaker latent
+        # mean/std errorbars + npz, and the FS mask when one is loaded
+        import numpy as np
+        from glob import glob as _glob
+
+        import jax.numpy as jnp
+
+        from dvc_tpu.ops.chunk import chunk_mel
+        from dvc_tpu.utils.plotting import plot_fs_mask, plot_latent_analysis
+
+        mus, stds, spk_ids = [], [], []
+        for spk_dir in sorted(_glob(os.path.join(args.dataset_fp, "*"))):
+            if not os.path.isdir(spk_dir):
+                continue
+            fps = sorted(_glob(os.path.join(spk_dir, "*.npy")))[:16]
+            if not fps:
+                continue
+            chunks = jnp.concatenate(
+                [chunk_mel(jnp.asarray(np.load(fp), jnp.float32),
+                           cfg.vae.frames) for fp in fps], axis=0)
+            smu, _, cmu, _ = trainer.model.apply(variables, chunks,
+                                                 method="encode")
+            lat = np.asarray(jnp.concatenate([smu, cmu], axis=-1))
+            mus.append(lat.mean(0))
+            stds.append(lat.std(0))
+            spk_ids.append(os.path.basename(spk_dir))
+        os.makedirs(gen_dir, exist_ok=True)
+        plot_latent_analysis(np.stack(mus), np.stack(stds), spk_ids,
+                             os.path.join(gen_dir, "latent_analysis.png"),
+                             os.path.join(gen_dir, "latent_analysis.npz"))
+        if fs_mask is not None:
+            plot_fs_mask(raw, os.path.join(gen_dir, "fs_mask.png"),
+                         args.fs_threshold, cfg.vae.speaker_size)
+            np.savez(os.path.join(gen_dir, "fs_mask.npz"),
+                     sigmoid_mask=raw, binary_mask=fs_mask)
+        print(f"latent analysis artifacts -> {gen_dir}")
     return 0
 
 
@@ -700,6 +739,12 @@ def main(argv=None) -> int:
                         "through content dims at latent 32")
     p.add_argument("--fs_threshold", type=float, default=0.5,
                    help="sigmoid-mask binarization threshold for --fs_mask")
+    p.add_argument("--analyze", action="store_true",
+                   help="also write latent-analysis artifacts into the "
+                        "generation dir: per-speaker latent mean/std plot "
+                        "+ npz (reference model/plot.py:23-55, which the "
+                        "reference never wires up) and the FS mask plot "
+                        "when --fs_mask is given")
     p.set_defaults(fn=cmd_convert)
 
     p = sub.add_parser("train-speaker")

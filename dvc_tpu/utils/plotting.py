@@ -72,6 +72,28 @@ def projection_plot(embeds: np.ndarray, labels, path: str,
     return True
 
 
+def plot_fs_mask(mask: np.ndarray, out_png: str,
+                 threshold: float = 0.5, speaker_size: int = 4) -> bool:
+    """FeatureSelection sigmoid-mask bar plot: which latent dims carry
+    speaker identity (train-fs output; dims above the threshold are the
+    ones convert --fs_mask swaps, plus the first speaker_size style dims)."""
+    plt = _plt()
+    if plt is None:
+        return False
+    mask = np.asarray(mask)
+    fig, ax = plt.subplots(figsize=(10, 3))
+    colors = ["tab:red" if (i < speaker_size or v > threshold)
+              else "tab:gray" for i, v in enumerate(mask)]
+    ax.bar(np.arange(len(mask)), mask, color=colors)
+    ax.axhline(threshold, color="k", lw=0.8, ls="--")
+    ax.set_xlabel("latent dim")
+    ax.set_ylabel("speaker-discriminative (sigmoid)")
+    ax.set_title("FeatureSelection mask (red = swapped at conversion)")
+    fig.savefig(out_png, bbox_inches="tight")
+    plt.close(fig)
+    return True
+
+
 def plot_latent_analysis(mus: np.ndarray, stds: np.ndarray, speaker_ids,
                          out_png: str, out_npz: str | None = None) -> bool:
     """Per-speaker latent mean/std errorbar plot + npz dump (reference
