@@ -125,6 +125,27 @@ def _make_cli_vocoder(args, cfg):
     return None
 
 
+def _load_fs_mask(args, cfg):
+    """--fs_mask feature_mask.npz (train-fs output) -> (raw sigmoid mask,
+    binary swap mask), or (None, None) when the flag is absent."""
+    if not getattr(args, "fs_mask", ""):
+        return None, None
+    import numpy as np
+
+    from dvc_tpu.convert.conversion import binarize_fs_mask
+    loaded = np.load(args.fs_mask)
+    raw = loaded["mask"] if hasattr(loaded, "files") else loaded
+    if raw.shape != (cfg.vae.latent_dim,):
+        raise SystemExit(
+            f"--fs_mask shape {raw.shape} != latent_dim "
+            f"({cfg.vae.latent_dim},) — was train-fs run on this model?")
+    fs_mask = binarize_fs_mask(raw, cfg.vae.speaker_size,
+                               args.fs_threshold)
+    print(f"FS-masked swap dims: "
+          f"{np.where(fs_mask > 0)[0].tolist()}")
+    return raw, fs_mask
+
+
 def cmd_convert(args) -> int:
     import jax
     from dvc_tpu.convert.conversion import VoiceConverter
@@ -140,21 +161,7 @@ def cmd_convert(args) -> int:
 
     vocoder = _make_cli_vocoder(args, cfg)
 
-    fs_mask = None
-    if getattr(args, "fs_mask", ""):
-        import numpy as np
-
-        from dvc_tpu.convert.conversion import binarize_fs_mask
-        loaded = np.load(args.fs_mask)
-        raw = loaded["mask"] if hasattr(loaded, "files") else loaded
-        if raw.shape != (cfg.vae.latent_dim,):
-            raise SystemExit(
-                f"--fs_mask shape {raw.shape} != latent_dim "
-                f"({cfg.vae.latent_dim},) — was train-fs run on this model?")
-        fs_mask = binarize_fs_mask(raw, cfg.vae.speaker_size,
-                                   args.fs_threshold)
-        print(f"FS-masked swap dims: "
-              f"{np.where(fs_mask > 0)[0].tolist()}")
+    raw, fs_mask = _load_fs_mask(args, cfg)
 
     converter = VoiceConverter(cfg, trainer.model, variables, seed=args.seed,
                                long_context=args.long_context,
@@ -353,9 +360,11 @@ def cmd_serve(args) -> int:
                                          max_wait_ms=args.max_wait_ms)
     else:
         vocoder = _make_cli_vocoder(args, cfg)
+        _, fs_mask = _load_fs_mask(args, cfg)
         service = ConversionService(cfg, trainer.model, variables,
                                     args.dataset_fp, vocoder,
-                                    max_wait_ms=args.max_wait_ms)
+                                    max_wait_ms=args.max_wait_ms,
+                                    fs_mask=fs_mask)
     server = make_http_server(service, args.host, args.port)
     print(f"serving on http://{args.host}:{args.port} "
           f"({len(service.speakers())} target speakers)")
@@ -836,6 +845,11 @@ def main(argv=None) -> int:
                         "(batched device analysis + latent swap + device "
                         "synthesis; dataset_fp is a preprocess-world "
                         "output dir, the checkpoint an MCC-VAE)")
+    p.add_argument("--fs_mask", default="",
+                   help="feature_mask.npz from train-fs: serve with the "
+                        "FeatureSelection-masked latent swap (mel pipeline "
+                        "only; same semantics as convert --fs_mask)")
+    p.add_argument("--fs_threshold", type=float, default=0.5)
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("eval-eer")

@@ -173,7 +173,8 @@ class ConversionService(_MicroBatchService):
 
     def __init__(self, cfg: Config, model, variables, dataset_fp: str,
                  vocoder=None, max_batch_chunks: int = 64,
-                 max_wait_ms: float = 10.0, max_queue: int = 256):
+                 max_wait_ms: float = 10.0, max_queue: int = 256,
+                 fs_mask=None):
         self.cfg = cfg
         self.model = model
         self.variables = variables
@@ -185,23 +186,48 @@ class ConversionService(_MicroBatchService):
         self._start(max_wait_ms, max_queue, max_batch_chunks)
 
         frames = cfg.vae.frames
+        mask = None if fs_mask is None else jnp.asarray(fs_mask, jnp.float32)
 
-        @jax.jit
-        def _convert(chunks, styles):
-            # chunks (N, 80, F), styles (N, S): encode source content, swap
-            # in the per-chunk target style, decode + postnet, clamp
-            _, _, content_mu, _ = model.apply(variables, chunks,
-                                              method="encode")
-            z = jnp.concatenate([styles, content_mu], axis=-1)
-            mel = model.apply(variables, z, method="decode")
-            mel = mel + model.apply(variables, mel, method="postnet")
-            return jnp.clip(mel, 0.0, 1.0)
+        if mask is None:
+            @jax.jit
+            def _convert(chunks, styles):
+                # chunks (N, 80, F), styles (N, S): encode source content,
+                # swap in the per-chunk target style, decode+postnet, clamp
+                _, _, content_mu, _ = model.apply(variables, chunks,
+                                                  method="encode")
+                z = jnp.concatenate([styles, content_mu], axis=-1)
+                mel = model.apply(variables, z, method="decode")
+                mel = mel + model.apply(variables, mel, method="postnet")
+                return jnp.clip(mel, 0.0, 1.0)
 
-        @jax.jit
-        def _style_of(chunks):
-            style_mu, _, _, _ = model.apply(variables, chunks,
-                                            method="encode")
-            return jnp.mean(style_mu, axis=0)
+            @jax.jit
+            def _style_of(chunks):
+                style_mu, _, _, _ = model.apply(variables, chunks,
+                                                method="encode")
+                return jnp.mean(style_mu, axis=0)
+        else:
+            # FeatureSelection-masked swap (convert --fs_mask semantics,
+            # conversion._convert_chunks_fs): the cached per-speaker vector
+            # is the target's mean FULL latent, and convert_z takes it on
+            # every masked dim.  The style dims are always masked, so the
+            # source's per-chunk style values never reach the decoder —
+            # no per-request style averaging is needed in the micro-batch.
+            @jax.jit
+            def _convert(chunks, trg_latents):
+                style_mu, _, content_mu, _ = model.apply(
+                    variables, chunks, method="encode")
+                src_z = jnp.concatenate([style_mu, content_mu], axis=-1)
+                z = src_z * (1.0 - mask) + trg_latents * mask
+                mel = model.apply(variables, z, method="decode")
+                mel = mel + model.apply(variables, mel, method="postnet")
+                return jnp.clip(mel, 0.0, 1.0)
+
+            @jax.jit
+            def _style_of(chunks):
+                style_mu, _, content_mu, _ = model.apply(
+                    variables, chunks, method="encode")
+                z = jnp.concatenate([style_mu, content_mu], axis=-1)
+                return jnp.mean(z, axis=0)
 
         self._convert = _convert
         self._style_of = _style_of

@@ -177,6 +177,58 @@ class TestServiceDirect:
         np.testing.assert_allclose(outs[1], solo, rtol=2e-5, atol=1e-6)
 
 
+class TestFSMaskedService:
+    """serve --fs_mask: the FeatureSelection-masked latent swap served with
+    micro-batching must be value-identical to convert_mel(fs_mask=...) —
+    the per-speaker cache holds the target's mean FULL latent and the
+    style dims are always masked, so per-chunk source style never reaches
+    the decoder (see ConversionService)."""
+
+    @pytest.fixture(scope="class")
+    def fs_setup(self, tmp_path_factory):
+        from dvc_tpu.convert.conversion import binarize_fs_mask
+
+        model = DisentangledVAE(CFG.vae)
+        rng = jax.random.PRNGKey(0)
+        x = jnp.zeros((2, CFG.vae.num_mels, CFG.vae.frames), jnp.float32)
+        variables = model.init({"params": rng, "reparam": rng}, x, x,
+                               train=True)
+        variables = {"params": variables["params"],
+                     "batch_stats": variables["batch_stats"]}
+
+        mel_dir = tmp_path_factory.mktemp("fs_mels")
+        np_rng = np.random.RandomState(0)
+        # ONE target utterance so the service's corpus-mean latent equals
+        # convert_mel's target-utterance mean exactly
+        trg_mel = np_rng.rand(80, 40).astype(np.float32)
+        d = mel_dir / "pt"
+        d.mkdir()
+        np.save(d / "pt_000_mel.npy", trg_mel)
+
+        sig = np_rng.rand(CFG.vae.latent_dim).astype(np.float32)
+        fs_mask = binarize_fs_mask(sig, CFG.vae.speaker_size, 0.5)
+        svc = ConversionService(CFG, model, variables, str(mel_dir),
+                                vocoder=None, max_wait_ms=50.0,
+                                fs_mask=fs_mask)
+        return svc, model, variables, trg_mel, fs_mask
+
+    def test_matches_convert_mel(self, fs_setup):
+        from dvc_tpu.convert.conversion import convert_mel
+
+        svc, model, variables, trg_mel, fs_mask = fs_setup
+        src = np.random.RandomState(7).rand(80, 33).astype(np.float32)
+        out = svc.submit(src, "pt")
+        _, want = convert_mel(model, variables, src, trg_mel,
+                              frames=CFG.vae.frames, fs_mask=fs_mask)
+        assert out.shape == want.shape
+        np.testing.assert_allclose(out, want, rtol=2e-5, atol=1e-6)
+
+    def test_style_cache_holds_full_latent(self, fs_setup):
+        svc = fs_setup[0]
+        lat = svc.target_style("pt")
+        assert lat.shape == (CFG.vae.latent_dim,)
+
+
 class TestWorldService:
     """serve --pipeline world: wav in -> batched WORLD analysis -> MCC
     latent swap -> device synthesis -> wav out."""
