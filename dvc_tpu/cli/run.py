@@ -551,15 +551,16 @@ def cmd_convert_world(args) -> int:
                "std": float(src_logf0["std"])}
     trg_lf0 = {"mean": float(trg_logf0["mean"]),
                "std": float(trg_logf0["std"])}
+    _, fs_mask = _load_fs_mask(args, cfg)
     if getattr(args, "synth", "native") == "device":
         from dvc_tpu.convert.world_conversion import world_convert_corpus
         wavs = world_convert_corpus(
             trainer.model, variables, src_npzs, trg_npzs, trg_stats,
-            src_lf0, trg_lf0, frames=args.samples_length)
+            src_lf0, trg_lf0, frames=args.samples_length, fs_mask=fs_mask)
     else:
         wavs = [world_convert_utterance(
             trainer.model, variables, s, t, trg_stats, src_lf0, trg_lf0,
-            frames=args.samples_length)
+            frames=args.samples_length, fs_mask=fs_mask)
             for s, t in zip(src_npzs, trg_npzs)]
     for i, wav in enumerate(wavs):
         utt = os.path.splitext(os.path.basename(src_fps[i]))[0]
@@ -788,6 +789,11 @@ def main(argv=None) -> int:
                    help="native: WORLD-faithful pulse synthesis per "
                         "utterance; device: whole corpus in bucketed "
                         "vmapped programs (ops/world.synthesize_batch)")
+    p.add_argument("--fs_mask", default="",
+                   help="feature_mask.npz from train-fs (run on the "
+                        "MCC-VAE): FeatureSelection-masked latent swap, "
+                        "same semantics as convert --fs_mask")
+    p.add_argument("--fs_threshold", type=float, default=0.5)
     p.set_defaults(fn=cmd_convert_world)
 
     p = sub.add_parser("embed")

@@ -33,24 +33,40 @@ from dvc_tpu.ops.world import (
 
 
 def convert_mcc(model, variables, src_norm_mc: np.ndarray,
-                trg_norm_mc: np.ndarray, frames: int = 128
-                ) -> np.ndarray:
+                trg_norm_mc: np.ndarray, frames: int = 128,
+                fs_mask: np.ndarray | None = None) -> np.ndarray:
     """Latent-swap conversion in normalized-MCC space.
 
     src/trg_norm_mc: (n_mcep, T) normalized MCCs (the PairedMCCDataset
     layout).  Returns converted normalized MCCs (n_mcep, ceil-chunked T).
+
+    fs_mask: optional (latent_dim,) binary mask (conversion.
+    binarize_fs_mask) — the FeatureSelection-masked swap: convert_z takes
+    the target's mean FULL latent on masked dims and the source's
+    per-chunk latent elsewhere (same semantics as the mel path's
+    convert --fs_mask; chip-measured to fix conversion direction at the
+    reference's latent 32, docs/measurements/).
     """
     src_chunks = chunk_mel(jnp.asarray(src_norm_mc, jnp.float32), frames)
     trg_chunks = chunk_mel(jnp.asarray(trg_norm_mc, jnp.float32), frames)
 
     src_style_mu, _, src_content_mu, _ = model.apply(
         variables, src_chunks, method="encode")
-    trg_style_mu, _, _, _ = model.apply(variables, trg_chunks, method="encode")
+    trg_style_mu, _, trg_content_mu, _ = model.apply(
+        variables, trg_chunks, method="encode")
     n = src_chunks.shape[0]
-    trg_style = jnp.broadcast_to(
-        jnp.mean(trg_style_mu, axis=0, keepdims=True),
-        (n, trg_style_mu.shape[-1]))
-    z = jnp.concatenate([trg_style, src_content_mu], axis=-1)
+    if fs_mask is None:
+        trg_style = jnp.broadcast_to(
+            jnp.mean(trg_style_mu, axis=0, keepdims=True),
+            (n, trg_style_mu.shape[-1]))
+        z = jnp.concatenate([trg_style, src_content_mu], axis=-1)
+    else:
+        mask = jnp.asarray(fs_mask, jnp.float32)
+        src_z = jnp.concatenate([src_style_mu, src_content_mu], axis=-1)
+        trg_mean = jnp.mean(
+            jnp.concatenate([trg_style_mu, trg_content_mu], -1),
+            axis=0, keepdims=True)
+        z = src_z * (1.0 - mask) + trg_mean * mask
     converted = model.apply(variables, z, method="decode")
     return np.asarray(unchunk_mel(converted))
 
@@ -58,8 +74,9 @@ def convert_mcc(model, variables, src_norm_mc: np.ndarray,
 def _convert_features(model, variables, src_npz: dict, trg_npz: dict,
                       trg_stats: dict, src_logf0_stats: dict,
                       trg_logf0_stats: dict, fs: int,
-                      frames: int) -> tuple[np.ndarray, np.ndarray,
-                                            np.ndarray]:
+                      frames: int,
+                      fs_mask: np.ndarray | None = None
+                      ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Steps 1-4 of the conversion (latent swap, de-normalize, mc2sp,
     pitch transform): returns (f0_conv, sp, ap) ready for synthesis."""
     src_f0 = np.asarray(src_npz["f0"])
@@ -69,7 +86,8 @@ def _convert_features(model, variables, src_npz: dict, trg_npz: dict,
 
     # 1-2. latent swap (target style, source content) + target-space
     # denormalization
-    conv_norm = convert_mcc(model, variables, src_norm, trg_norm, frames)[:, :t]
+    conv_norm = convert_mcc(model, variables, src_norm, trg_norm, frames,
+                            fs_mask=fs_mask)[:, :t]
     mc = conv_norm.T * np.asarray(trg_stats["std"]).T \
         + np.asarray(trg_stats["mean"]).T              # (T, n_mcep)
 
@@ -102,7 +120,8 @@ def world_convert_utterance(model, variables, src_npz: dict, trg_npz: dict,
                             trg_stats: dict,
                             src_logf0_stats: dict, trg_logf0_stats: dict,
                             fs: int = 16_000, frame_period: float = 5.0,
-                            frames: int = 128) -> np.ndarray:
+                            frames: int = 128,
+                            fs_mask: np.ndarray | None = None) -> np.ndarray:
     """Full WORLD-path conversion of one utterance.
 
     src_npz / trg_npz: dicts with keys f0, normalized_mc (T, n_mcep) — the
@@ -115,7 +134,7 @@ def world_convert_utterance(model, variables, src_npz: dict, trg_npz: dict,
     """
     f0_conv, sp, ap = _convert_features(
         model, variables, src_npz, trg_npz, trg_stats, src_logf0_stats,
-        trg_logf0_stats, fs, frames)
+        trg_logf0_stats, fs, frames, fs_mask=fs_mask)
     wav = world_speech_synthesis(f0_conv, sp, ap, fs, frame_period)
     return _peak_normalize(wav)
 
@@ -124,7 +143,8 @@ def world_convert_corpus(model, variables, src_npzs: list, trg_npzs: list,
                          trg_stats: dict, src_logf0_stats: dict,
                          trg_logf0_stats: dict, fs: int = 16_000,
                          frame_period: float = 5.0,
-                         frames: int = 128) -> list:
+                         frames: int = 128,
+                         fs_mask: np.ndarray | None = None) -> list:
     """Corpus-throughput variant of world_convert_utterance: the feature
     conversion runs per utterance (steps 1-4, identical numerics), then ALL
     waveforms synthesize in bucketed device batches via
@@ -135,7 +155,8 @@ def world_convert_corpus(model, variables, src_npzs: list, trg_npzs: list,
     from dvc_tpu.ops.world import synthesize_batch
 
     feats = [_convert_features(model, variables, s, t, trg_stats,
-                               src_logf0_stats, trg_logf0_stats, fs, frames)
+                               src_logf0_stats, trg_logf0_stats, fs, frames,
+                               fs_mask=fs_mask)
              for s, t in zip(src_npzs, trg_npzs)]
     wavs = synthesize_batch([f[0] for f in feats], [f[1] for f in feats],
                             [f[2] for f in feats], fs, frame_period)

@@ -293,6 +293,21 @@ class TestWorldConversion:
         out_c = convert_mcc(model, variables, trg_b, trg_a, frames=32)
         assert not np.allclose(out_a, out_c)
 
+        # FS-masked swap with ONLY the style dims masked is exactly the
+        # plain swap (masked style dims <- target mean style, unmasked
+        # content dims <- per-chunk source content), while a wider mask
+        # changes the output (content dims now swap too)
+        style_only = np.zeros(cfg.latent_dim, np.float32)
+        style_only[:cfg.speaker_size] = 1.0
+        out_fs = convert_mcc(model, variables, src, trg_a, frames=32,
+                             fs_mask=style_only)
+        np.testing.assert_allclose(out_fs, out_a, rtol=2e-5, atol=1e-6)
+        wider = style_only.copy()
+        wider[cfg.speaker_size:cfg.speaker_size + 4] = 1.0
+        out_wide = convert_mcc(model, variables, src, trg_a, frames=32,
+                               fs_mask=wider)
+        assert not np.allclose(out_wide, out_a)
+
     def test_end_to_end_mcc_conversion(self, tmp_path):
         """WORLD path: preprocess wavs -> npz, latent-swap on MCCs,
         pitch-convert, synthesize a waveform."""

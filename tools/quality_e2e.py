@@ -189,21 +189,43 @@ def main() -> None:
     voc_vars = {"params": voc.state.params}
 
     # --- convert held-out, vocode, waveform MCD --------------------------
-    rows, margins = [], []
+    # Three layers of direction evidence, so a failure localizes:
+    #   mel-level      — converted mel's mean profile vs per-speaker train
+    #                    profiles (no vocoder, no WORLD analysis involved);
+    #   vocoded-ref    — MCD against the REFERENCES RENDERED THROUGH THE
+    #                    SAME VOCODER: its spectral coloration is
+    #                    common-mode and cancels;
+    #   natural-ref    — the reference protocol (MCD_calculate.py), where
+    #                    vocoder fidelity is part of what's measured.
+    rows, margins, vmargins = [], [], []
     gen_dir = os.path.join(args.data_dir, "generation")
     os.makedirs(gen_dir, exist_ok=True)
+
+    prof = {s: np.mean([mels[(s, u)].mean(axis=1)
+                        for u in range(args.holdout, args.utts)], axis=0)
+            for s in SPEAKERS}
+
+    def vocode(mel):
+        return np.asarray(istft_synth(voc.model, voc_vars,
+                                      jnp.asarray(mel)[None]))[0]
+
     conv_wavs, src_refs, trg_refs = [], [], []
+    vsrc_refs, vtrg_refs, mel_dirn = [], [], []
     for src, trg in (("sa", "sb"), ("sb", "sa")):
         for u in range(args.holdout):
             src_mel = mels[(src, u)]
             trg_mel = mels[(trg, args.holdout)]  # a TRAIN utt of target
             _, conv = convert_mel(tr.model, variables, src_mel, trg_mel,
                                   frames=cfg.vae.frames, fs_mask=fs_mask)
-            w = np.asarray(istft_synth(voc.model, voc_vars,
-                                       jnp.asarray(conv)[None]))[0]
+            p = np.asarray(conv).mean(axis=1)
+            mel_dirn.append(bool(np.linalg.norm(p - prof[trg])
+                                 < np.linalg.norm(p - prof[src])))
+            w = vocode(conv)
             conv_wavs.append(w)
             src_refs.append(wavs[(src, u)])
             trg_refs.append(wavs[(trg, u)])  # parallel rendition
+            vsrc_refs.append(vocode(mels[(src, u)]))
+            vtrg_refs.append(vocode(mels[(trg, u)]))
             write_wav(os.path.join(gen_dir,
                                    f"convert_{src}_to_{trg}_{u:03d}.wav"),
                       w, FS)
@@ -211,10 +233,18 @@ def main() -> None:
                                analysis=args.analysis)
     mcd_src = evaluate_mcd_wav(src_refs, conv_wavs, FS,
                                analysis=args.analysis)
+    vmcd_trg = evaluate_mcd_wav(vtrg_refs, conv_wavs, FS,
+                                analysis=args.analysis)
+    vmcd_src = evaluate_mcd_wav(vsrc_refs, conv_wavs, FS,
+                                analysis=args.analysis)
     for i, (a, b) in enumerate(zip(mcd_trg, mcd_src)):
         margins.append(b - a)
+        vmargins.append(vmcd_src[i] - vmcd_trg[i])
         rows.append({"utt": i, "mcd_to_target": round(a, 3),
-                     "mcd_to_source": round(b, 3)})
+                     "mcd_to_source": round(b, 3),
+                     "vocoded_ref_mcd_to_target": round(vmcd_trg[i], 3),
+                     "vocoded_ref_mcd_to_source": round(vmcd_src[i], 3),
+                     "mel_level_toward_target": mel_dirn[i]})
 
     result = {
         "metric": "e2e_waveform_mcd_direction",
@@ -224,9 +254,13 @@ def main() -> None:
         "voc_steps": args.voc_steps,
         "voc_final_loss": round(float(np.mean(losses[-20:])), 4),
         "train_seconds": round(time.perf_counter() - t0, 1),
+        "mel_level_toward_target": f"{sum(mel_dirn)}/{len(mel_dirn)}",
         "pairs_toward_target": f"{sum(1 for m in margins if m > 0)}"
                                f"/{len(margins)}",
         "mean_mcd_margin_db": round(float(np.mean(margins)), 3),
+        "vocoded_ref_toward_target":
+            f"{sum(1 for m in vmargins if m > 0)}/{len(vmargins)}",
+        "vocoded_ref_mean_margin_db": round(float(np.mean(vmargins)), 3),
         "mean_mcd_to_target_db": round(float(np.mean(mcd_trg)), 3),
         "pairs": rows,
     }
