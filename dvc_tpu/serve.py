@@ -338,7 +338,7 @@ class WorldConversionService(_MicroBatchService):
     def __init__(self, cfg: Config, model, variables, dataset_fp: str,
                  sample_rate: int = 16_000, frame_period: float = 5.0,
                  max_batch_utts: int = 16, max_wait_ms: float = 10.0,
-                 max_queue: int = 256):
+                 max_queue: int = 256, fs_mask=None):
         self.cfg = cfg
         self.model = model
         self.variables = variables
@@ -352,21 +352,42 @@ class WorldConversionService(_MicroBatchService):
 
         model_ = model
         variables_ = variables
+        mask = None if fs_mask is None else jnp.asarray(fs_mask, jnp.float32)
 
-        @jax.jit
-        def _convert(chunks, styles):
-            # chunks (N, n_mcep, F), styles (N, S): convert_mcc semantics
-            # (convert/world_conversion.py:35-57) — decode only
-            _, _, content_mu, _ = model_.apply(variables_, chunks,
-                                               method="encode")
-            z = jnp.concatenate([styles, content_mu], axis=-1)
-            return model_.apply(variables_, z, method="decode")
+        if mask is None:
+            @jax.jit
+            def _convert(chunks, styles):
+                # chunks (N, n_mcep, F), styles (N, S): convert_mcc semantics
+                # (convert/world_conversion.py:35-57) — decode only
+                _, _, content_mu, _ = model_.apply(variables_, chunks,
+                                                   method="encode")
+                z = jnp.concatenate([styles, content_mu], axis=-1)
+                return model_.apply(variables_, z, method="decode")
 
-        @jax.jit
-        def _style_of(chunks):
-            style_mu, _, _, _ = model_.apply(variables_, chunks,
-                                             method="encode")
-            return jnp.mean(style_mu, axis=0)
+            @jax.jit
+            def _style_of(chunks):
+                style_mu, _, _, _ = model_.apply(variables_, chunks,
+                                                 method="encode")
+                return jnp.mean(style_mu, axis=0)
+        else:
+            # FeatureSelection-masked swap on the WORLD route (convert-world
+            # --fs_mask semantics, world_conversion.convert_mcc:63-69): the
+            # cached per-speaker vector is the target's mean FULL latent,
+            # taken on every masked dim; decode only, no postnet/clip.
+            @jax.jit
+            def _convert(chunks, trg_latents):
+                style_mu, _, content_mu, _ = model_.apply(
+                    variables_, chunks, method="encode")
+                src_z = jnp.concatenate([style_mu, content_mu], axis=-1)
+                z = src_z * (1.0 - mask) + trg_latents * mask
+                return model_.apply(variables_, z, method="decode")
+
+            @jax.jit
+            def _style_of(chunks):
+                style_mu, _, content_mu, _ = model_.apply(
+                    variables_, chunks, method="encode")
+                z = jnp.concatenate([style_mu, content_mu], axis=-1)
+                return jnp.mean(z, axis=0)
 
         self._convert = _convert
         self._style_of = _style_of

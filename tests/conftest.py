@@ -37,3 +37,22 @@ from dvc_tpu.models import layers as _layers  # noqa: E402
 
 _layers.DEFAULT_UNROLL = 1
 _layers.FULL_UNROLL_MAX_T = 0
+
+# Crash guard (VERDICT r4 weak-item 5): one unreproduced interpreter abort
+# occurred mid-suite with torch + jax both loaded.  Enable faulthandler with
+# a periodic traceback dump so any recurrence names the running test, and
+# stamp the current test id into the environment for post-mortem reads.
+import faulthandler  # noqa: E402
+import sys  # noqa: E402
+
+faulthandler.enable(file=sys.stderr, all_threads=True)
+
+
+def pytest_runtest_setup(item):
+    os.environ["DVC_CURRENT_TEST"] = item.nodeid
+    # dump all thread stacks if any single test wedges for > 10 minutes
+    faulthandler.dump_traceback_later(600, repeat=False, file=sys.stderr)
+
+
+def pytest_runtest_teardown(item):
+    faulthandler.cancel_dump_traceback_later()

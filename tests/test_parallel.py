@@ -131,6 +131,21 @@ class TestTrainerSharding:
         assert sh["bias"].spec == P()
         assert sh["odd"].spec == P()
 
+    def test_tp_excludes_reshape_consumed_weights(self):
+        """pre_linear2's output is reshaped (B, flat) -> (B, T, 2*neck) and
+        scanned, so feature-sharding it made XLA emit an involuntary full
+        rematerialization every step (MULTICHIP_r04 tail); the TP rule must
+        replicate it."""
+        m = make_mesh(MeshConfig(model_parallel=2))
+        tree = {"decoder": {"pre_linear2": {"dense": {
+                    "kernel": np.zeros((2048, 8192), np.float32)}},
+                "pre_linear1": {"dense": {
+                    "kernel": np.zeros((32, 2048), np.float32)}}}}
+        sh = param_sharding_for(tree, m)
+        assert sh["decoder"]["pre_linear2"]["dense"]["kernel"].spec == P()
+        assert sh["decoder"]["pre_linear1"]["dense"]["kernel"].spec == \
+            P(None, "model")
+
 
 class TestFullSizeSharding:
     """VERDICT r2 item 2: the UNSHRUNKEN flagship architecture (frames=64,

@@ -2,6 +2,7 @@
 loop, WORLD preprocessing -> MCC dataset, feature selection."""
 
 import os
+import zlib
 
 import jax
 import jax.numpy as jnp
@@ -670,8 +671,10 @@ class TestE2EWaveformQuality:
         for k in range(1, int(7000 / f0_base) + 1):
             wav += float(env(k * f0_base)) * np.sin(k * ph + 0.7 * k)
         wav = amp * wav / max(1e-9, np.abs(wav).max())
-        wav += 0.003 * np.random.RandomState(99 * utt
-                                             + hash(spk) % 97).randn(n)
+        # zlib.crc32, not hash(): PYTHONHASHSEED salts hash() per process,
+        # which made the corpus differ run-to-run (ADVICE r4)
+        wav += 0.003 * np.random.RandomState(
+            99 * utt + zlib.crc32(spk.encode()) % 97).randn(n)
         return (0.7 * wav).astype(np.float32)
 
     def test_converted_audio_lands_on_target_speaker(self, tmp_path):
@@ -745,7 +748,7 @@ class TestE2EWaveformQuality:
                             for u in range(holdout, utts)], axis=0)
                 for s in self.SPEAKERS}
 
-        conv_wavs, src_refs, trg_refs, mel_dirn = [], [], [], []
+        conv_wavs, src_refs, trg_refs, ctrl_refs, mel_dirn = [], [], [], [], []
         for src, trg in (("sa", "sb"), ("sb", "sa")):
             for u in range(holdout):
                 _, conv = convert_mel(tr.model, variables, mels[(src, u)],
@@ -759,6 +762,9 @@ class TestE2EWaveformQuality:
                 conv_wavs.append(w)
                 src_refs.append(wavs[(src, u)])
                 trg_refs.append(wavs[(trg, u)])  # parallel rendition
+                # content-MISMATCHED control: same target speaker, different
+                # content (utterance holdout+1's modulation seed != u's)
+                ctrl_refs.append(wavs[(trg, holdout + 1)])
 
         # conversion must land on the target at the MEL level first
         # (isolates a conversion regression from a vocoder regression)
@@ -771,6 +777,23 @@ class TestE2EWaveformQuality:
         # measured (seed 1): 4/4, margins +8.5/+11.7/+11.4/+11.6 dB
         assert toward >= 3, list(zip(mcd_trg, mcd_src))
         assert float(np.mean(margins)) > 2.0, margins
+
+        # content-preservation gate (VERDICT r4 item 2): a content-free
+        # target-speaker drone would pass the direction gate above (the
+        # parallel rendition shares the source's content by construction) —
+        # so additionally require the converted audio to be CLOSER to the
+        # target's parallel rendition than a content-mismatched utterance
+        # of the target speaker is.  Both sides of the comparison share the
+        # target's identity; only preserved source content can win it.
+        mcd_ctrl = evaluate_mcd_wav(trg_refs, ctrl_refs, self.FS_HZ)
+        content_margins = [c - t for t, c in zip(mcd_trg, mcd_ctrl)]
+        content_ok = sum(1 for m in content_margins if m > 0)
+        # measured (seed 1, top_k-capped mask): see assertion message on fail
+        assert content_ok >= 3, {
+            "mcd(parallel, converted)": mcd_trg,
+            "mcd(parallel, content-mismatched target)": mcd_ctrl,
+            "n_dims_swapped": int(fs_mask.sum())}
+        assert float(np.mean(content_margins)) > 0.0, content_margins
 
 
 class TestFeatureSelectionTrainer:

@@ -284,6 +284,54 @@ class TestWorldService:
         assert np.isfinite(out).all()
         assert np.abs(out).max() <= 0.951
 
+    def test_fs_mask_matches_convert_mcc(self, tmp_path):
+        """serve --pipeline world --fs_mask (ADVICE r4: used to be silently
+        ignored): the served masked swap must be value-identical to
+        convert-world's convert_mcc(fs_mask=...)."""
+        from dvc_tpu.convert.conversion import binarize_fs_mask
+        from dvc_tpu.convert.world_conversion import convert_mcc
+        from dvc_tpu.ops.chunk import chunk_mel, unchunk_mel
+        from dvc_tpu.serve import WorldConversionService
+
+        cfg = Config(vae=VAEConfig(num_mels=36, frames=32, dim_neck=8,
+                                   enc_channels=32, dim_pre=32,
+                                   dec_lstm2_hidden=32,
+                                   postnet_channels=32))
+        model = DisentangledVAE(cfg.vae)
+        rng = jax.random.PRNGKey(0)
+        x = jnp.zeros((2, 36, 32), jnp.float32)
+        variables = model.init({"params": rng, "reparam": rng}, x, x,
+                               train=True)
+        variables = {"params": variables["params"],
+                     "batch_stats": variables["batch_stats"]}
+        np_rng = np.random.RandomState(3)
+        # ONE target utterance so the service's corpus-mean full latent
+        # equals convert_mcc's target-utterance mean exactly
+        trg_mc = np_rng.randn(45, 36).astype(np.float32)
+        d = tmp_path / "wt"
+        d.mkdir()
+        np.savez(d / "u0.npz", f0=np.abs(np_rng.rand(45) * 100 + 100),
+                 normalized_mc=trg_mc)
+        np.savez(tmp_path / "log_f0_wt.npz", mean=5.0, std=0.2)
+        np.savez(tmp_path / "mcep_wt.npz",
+                 mean=np_rng.randn(36, 1) * 0.1,
+                 std=np.abs(np_rng.rand(36, 1)) + 0.5)
+        sig = np_rng.rand(cfg.vae.latent_dim).astype(np.float32)
+        fs_mask = binarize_fs_mask(sig, cfg.vae.speaker_size, 0.5)
+        svc = WorldConversionService(cfg, model, variables, str(tmp_path),
+                                     max_wait_ms=50.0, fs_mask=fs_mask)
+        lat = svc.target_assets("wt")[0]
+        assert lat.shape == (cfg.vae.latent_dim,)
+
+        src = np_rng.randn(36, 50).astype(np.float32)
+        chunks = chunk_mel(jnp.asarray(src), cfg.vae.frames)
+        out = np.asarray(unchunk_mel(svc._convert(
+            chunks, jnp.broadcast_to(lat[None, :],
+                                     (chunks.shape[0], lat.shape[-1])))))
+        want = convert_mcc(model, variables, src, trg_mc.T,
+                           frames=cfg.vae.frames, fs_mask=fs_mask)
+        np.testing.assert_allclose(out, want, rtol=2e-5, atol=1e-6)
+
     def test_micro_batching(self, world_service):
         before = dict(world_service.stats)
         t = np.arange(6000) / 16000.0

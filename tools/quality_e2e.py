@@ -32,6 +32,7 @@ import json
 import os
 import sys
 import time
+import zlib
 
 import numpy as np
 
@@ -85,7 +86,9 @@ def utterance_wav(spk: str, utt: int, n: int) -> np.ndarray:
     for k in range(1, n_harm + 1):
         wav += float(env(k * f0_base)) * np.sin(k * ph + 0.7 * k)
     wav = amp * wav / max(1e-9, np.abs(wav).max())
-    wav += 0.003 * np.random.RandomState(99 * utt + hash(spk) % 97).randn(n)
+    # crc32, not hash(): PYTHONHASHSEED salts hash() per process (ADVICE r4)
+    wav += 0.003 * np.random.RandomState(
+        99 * utt + zlib.crc32(spk.encode()) % 97).randn(n)
     return (0.7 * wav).astype(np.float32)
 
 

@@ -67,12 +67,18 @@ def speaker_profiles(n: int, rng) -> list[np.ndarray]:
     return profs
 
 
-def synth_mel(prof: np.ndarray, rng, t: int) -> np.ndarray:
+def make_content(rng, t: int) -> np.ndarray:
     tt = np.linspace(0, 1, t)
     content = np.zeros(t)
     for k in range(1, 4):
         content += rng.randn() * np.sin(2 * np.pi * k * tt + rng.rand() * 6)
-    content = 0.5 + 0.25 * content / max(1.0, np.abs(content).max())
+    return 0.5 + 0.25 * content / max(1.0, np.abs(content).max())
+
+
+def synth_mel(prof: np.ndarray, rng, t: int,
+              content: np.ndarray | None = None) -> np.ndarray:
+    if content is None:
+        content = make_content(rng, t)
     mel = prof[:, None] * content[None, :] + 0.02 * rng.rand(80, t)
     return np.clip(mel, 0.0, 1.0).astype(np.float32)
 
@@ -86,11 +92,41 @@ def profile_dist(mel: np.ndarray, prof: np.ndarray) -> float:
     return float(np.sqrt(((p - ref) ** 2).sum()))
 
 
+def framewise_dist(a: np.ndarray, b: np.ndarray) -> float:
+    """Mean per-frame L2 — time-RESOLVED (unlike profile_dist's
+    time-average), so a content-free drone scores badly against a
+    modulated reference."""
+    t = min(a.shape[1], b.shape[1])
+    return float(np.mean(np.sqrt(((a[:, :t] - b[:, :t]) ** 2).sum(axis=0))))
+
+
+def traj_corr(a: np.ndarray, b: np.ndarray) -> float:
+    """Correlation of z-scored energy trajectories (mean over mel bins) —
+    the speaker-normalized content signal."""
+    t = min(a.shape[1], b.shape[1])
+    x, y = np.asarray(a)[:, :t].mean(axis=0), np.asarray(b)[:, :t].mean(axis=0)
+    x = (x - x.mean()) / max(x.std(), 1e-9)
+    y = (y - y.mean()) / max(y.std(), 1e-9)
+    return float(np.mean(x * y))
+
+
 def measure_pairs(model, variables, held, profs, frames, pairs,
-                  fs_mask=None):
+                  fs_mask=None, held_content=None):
+    """Direction margins (profile distance toward target vs source) and —
+    when held_content is given — content margins (VERDICT r4 item 2):
+      content_margin = framewise_dist(target-parallel, content-MISMATCHED
+                       target utterance) - framewise_dist(target-parallel,
+                       converted)
+    where the target-parallel rendition is the target speaker's profile
+    carrying the SOURCE utterance's content trajectory (constructible
+    exactly for this synthetic corpus).  Positive = the conversion kept
+    enough source content to beat a wrong-content utterance of the same
+    target speaker.  Also reports corr(converted, source) of z-scored
+    energy trajectories."""
     from dvc_tpu.convert.conversion import convert_mel
 
     recon_l1s, margins, rows = [], [], []
+    content_margins, traj_corrs = [], []
     for si, ti in pairs:
         recons, converted = convert_mel(model, variables, held[si],
                                         held[ti], frames=frames,
@@ -101,9 +137,23 @@ def measure_pairs(model, variables, held, profs, frames, pairs,
         d_src = profile_dist(converted, profs[si])
         recon_l1s.append(rl1)
         margins.append(d_src - d_trg)
-        rows.append({"pair": f"s{si}->s{ti}", "d_target": round(d_trg, 4),
-                     "d_source": round(d_src, 4), "recon_l1": round(rl1, 4)})
-    return recon_l1s, margins, rows
+        row = {"pair": f"s{si}->s{ti}", "d_target": round(d_trg, 4),
+               "d_source": round(d_src, 4), "recon_l1": round(rl1, 4)}
+        if held_content is not None:
+            noise = np.random.RandomState(1000 + si * 97 + ti)
+            t_len = held[si].shape[1]
+            parallel = synth_mel(profs[ti], noise, t_len,
+                                 content=held_content[si][:t_len])
+            d_par = framewise_dist(np.asarray(converted), parallel)
+            d_mis = framewise_dist(held[ti], parallel)
+            corr = traj_corr(converted, held[si])
+            content_margins.append(d_mis - d_par)
+            traj_corrs.append(corr)
+            row.update({"d_parallel": round(d_par, 4),
+                        "d_mismatch": round(d_mis, 4),
+                        "traj_corr": round(corr, 4)})
+        rows.append(row)
+    return recon_l1s, margins, rows, content_margins, traj_corrs
 
 
 def main() -> None:
@@ -123,6 +173,12 @@ def main() -> None:
                          "FS-masked swap (convert --fs_mask)")
     ap.add_argument("--fs_epochs", type=int, default=60)
     ap.add_argument("--fs_threshold", type=float, default=0.5)
+    ap.add_argument("--fs_top_k_sweep", default="2,4,8,12",
+                    help="comma list of top-k caps on swapped CONTENT dims "
+                         "to sweep (plus the uncapped threshold mask); "
+                         "VERDICT r4 item 2 — measures whether a SELECTIVE "
+                         "mask still converts direction while preserving "
+                         "content")
     ap.add_argument("--pairs", type=int, default=20,
                     help="number of ordered speaker pairs to measure "
                          "(deterministic sample; all pairs if >= n*(n-1))")
@@ -170,7 +226,9 @@ def main() -> None:
     variables = {"params": tr.state.params,
                  "batch_stats": tr.state.batch_stats}
     hold = np.random.RandomState(100)
-    held = [synth_mel(p, hold, 72) for p in profs]
+    held_content = [make_content(hold, 72) for _ in profs]
+    held = [synth_mel(p, hold, 72, content=c)
+            for p, c in zip(profs, held_content)]
 
     # deterministic ordered-pair sample (round-robin offsets cover every
     # speaker as source and target before repeating a source)
@@ -179,8 +237,22 @@ def main() -> None:
                  for s in range(args.speakers)]
     pairs = all_pairs[:min(args.pairs, len(all_pairs))]
 
-    recon_l1s, margins, rows = measure_pairs(
-        tr.model, variables, held, profs, cfg.vae.frames, pairs)
+    def summarize(margins, cmargins, tcorrs):
+        out = {
+            "pairs_toward_target": f"{sum(1 for m in margins if m > 0)}"
+                                   f"/{len(margins)}",
+            "mean_direction_margin": round(float(np.mean(margins)), 4),
+        }
+        if cmargins:
+            out["pairs_content_preserved"] = \
+                f"{sum(1 for m in cmargins if m > 0)}/{len(cmargins)}"
+            out["mean_content_margin"] = round(float(np.mean(cmargins)), 4)
+            out["mean_traj_corr"] = round(float(np.mean(tcorrs)), 4)
+        return out
+
+    recon_l1s, margins, rows, cmargins, tcorrs = measure_pairs(
+        tr.model, variables, held, profs, cfg.vae.frames, pairs,
+        held_content=held_content)
 
     result = {
         "metric": "full_size_mel_conversion_quality",
@@ -193,9 +265,7 @@ def main() -> None:
         "final_recon_per_frame": round(
             totals["mse_x1"] / (80 * cfg.vae.frames), 4),
         "holdout_recon_l1_mean": round(float(np.mean(recon_l1s)), 4),
-        "pairs_toward_target": f"{sum(1 for m in margins if m > 0)}"
-                               f"/{len(margins)}",
-        "mean_direction_margin": round(float(np.mean(margins)), 4),
+        **summarize(margins, cmargins, tcorrs),
         "pairs": rows,
     }
 
@@ -216,19 +286,31 @@ def main() -> None:
         fs_last = fs_tr.train(latents, labels, epochs=args.fs_epochs,
                               logging_func=lambda s: print(s, file=sys.stderr))
         sig_mask = fs_tr.feature_mask(latents)
-        mask = binarize_fs_mask(sig_mask, cfg.vae.speaker_size,
-                                args.fs_threshold)
-        _, fs_margins, fs_rows = measure_pairs(
-            tr.model, variables, held, profs, cfg.vae.frames, pairs,
-            fs_mask=mask)
+
+        # selectivity sweep (VERDICT r4 item 2): the uncapped threshold
+        # mask PLUS top-k-capped masks; every entry carries n_dims_swapped
+        # and BOTH direction and content margins
+        sweep_cfgs = [("threshold", None)] + [
+            ("top_k", int(k)) for k in args.fs_top_k_sweep.split(",") if k]
+        sweep = []
+        for kind, k in sweep_cfgs:
+            mask = binarize_fs_mask(sig_mask, cfg.vae.speaker_size,
+                                    args.fs_threshold, top_k=k)
+            _, fs_m, fs_rows, fs_cm, fs_tc = measure_pairs(
+                tr.model, variables, held, profs, cfg.vae.frames, pairs,
+                fs_mask=mask, held_content=held_content)
+            sweep.append({
+                "mask": (f"threshold={args.fs_threshold}" if k is None
+                         else f"top_k={k}"),
+                "n_dims_swapped": int(mask.sum()),
+                "swap_dims": np.where(mask > 0)[0].tolist(),
+                **summarize(fs_m, fs_cm, fs_tc),
+                "pairs": fs_rows,
+            })
         result["fs"] = {
             "classifier_acc": round(fs_last.get("acc", 0.0), 3),
-            "swap_dims": np.where(mask > 0)[0].tolist(),
             "sigmoid_mask": [round(float(v), 3) for v in sig_mask],
-            "pairs_toward_target": f"{sum(1 for m in fs_margins if m > 0)}"
-                                   f"/{len(fs_margins)}",
-            "mean_direction_margin": round(float(np.mean(fs_margins)), 4),
-            "pairs": fs_rows,
+            "sweep": sweep,
         }
 
     print(json.dumps(result))
