@@ -188,21 +188,27 @@ class ConversionService(_MicroBatchService):
         frames = cfg.vae.frames
         mask = None if fs_mask is None else jnp.asarray(fs_mask, jnp.float32)
 
+        # variables are passed as runtime jit ARGUMENTS, device-put once —
+        # closing over them bakes every parameter into the compile payload
+        # as an HLO constant, which the remote-compile transport rejects
+        # for full-size models (HTTP 413) and bloats the executable.
+        v_dev = jax.device_put(variables)
+
         if mask is None:
             @jax.jit
-            def _convert(chunks, styles):
+            def _convert(v, chunks, styles):
                 # chunks (N, 80, F), styles (N, S): encode source content,
                 # swap in the per-chunk target style, decode+postnet, clamp
-                _, _, content_mu, _ = model.apply(variables, chunks,
+                _, _, content_mu, _ = model.apply(v, chunks,
                                                   method="encode")
                 z = jnp.concatenate([styles, content_mu], axis=-1)
-                mel = model.apply(variables, z, method="decode")
-                mel = mel + model.apply(variables, mel, method="postnet")
+                mel = model.apply(v, z, method="decode")
+                mel = mel + model.apply(v, mel, method="postnet")
                 return jnp.clip(mel, 0.0, 1.0)
 
             @jax.jit
-            def _style_of(chunks):
-                style_mu, _, _, _ = model.apply(variables, chunks,
+            def _style_of(v, chunks):
+                style_mu, _, _, _ = model.apply(v, chunks,
                                                 method="encode")
                 return jnp.mean(style_mu, axis=0)
         else:
@@ -213,24 +219,24 @@ class ConversionService(_MicroBatchService):
             # source's per-chunk style values never reach the decoder —
             # no per-request style averaging is needed in the micro-batch.
             @jax.jit
-            def _convert(chunks, trg_latents):
+            def _convert(v, chunks, trg_latents):
                 style_mu, _, content_mu, _ = model.apply(
-                    variables, chunks, method="encode")
+                    v, chunks, method="encode")
                 src_z = jnp.concatenate([style_mu, content_mu], axis=-1)
                 z = src_z * (1.0 - mask) + trg_latents * mask
-                mel = model.apply(variables, z, method="decode")
-                mel = mel + model.apply(variables, mel, method="postnet")
+                mel = model.apply(v, z, method="decode")
+                mel = mel + model.apply(v, mel, method="postnet")
                 return jnp.clip(mel, 0.0, 1.0)
 
             @jax.jit
-            def _style_of(chunks):
+            def _style_of(v, chunks):
                 style_mu, _, content_mu, _ = model.apply(
-                    variables, chunks, method="encode")
+                    v, chunks, method="encode")
                 z = jnp.concatenate([style_mu, content_mu], axis=-1)
                 return jnp.mean(z, axis=0)
 
-        self._convert = _convert
-        self._style_of = _style_of
+        self._convert = lambda chunks, s: _convert(v_dev, chunks, s)
+        self._style_of = lambda chunks: _style_of(v_dev, chunks)
         self._frames = frames
 
     # -- target styles -------------------------------------------------------
@@ -351,22 +357,23 @@ class WorldConversionService(_MicroBatchService):
         self._asset_lock = threading.Lock()
 
         model_ = model
-        variables_ = variables
         mask = None if fs_mask is None else jnp.asarray(fs_mask, jnp.float32)
+        # runtime jit args, not closure constants — see ConversionService
+        v_dev = jax.device_put(variables)
 
         if mask is None:
             @jax.jit
-            def _convert(chunks, styles):
+            def _convert(v, chunks, styles):
                 # chunks (N, n_mcep, F), styles (N, S): convert_mcc semantics
                 # (convert/world_conversion.py:35-57) — decode only
-                _, _, content_mu, _ = model_.apply(variables_, chunks,
+                _, _, content_mu, _ = model_.apply(v, chunks,
                                                    method="encode")
                 z = jnp.concatenate([styles, content_mu], axis=-1)
-                return model_.apply(variables_, z, method="decode")
+                return model_.apply(v, z, method="decode")
 
             @jax.jit
-            def _style_of(chunks):
-                style_mu, _, _, _ = model_.apply(variables_, chunks,
+            def _style_of(v, chunks):
+                style_mu, _, _, _ = model_.apply(v, chunks,
                                                  method="encode")
                 return jnp.mean(style_mu, axis=0)
         else:
@@ -375,22 +382,22 @@ class WorldConversionService(_MicroBatchService):
             # cached per-speaker vector is the target's mean FULL latent,
             # taken on every masked dim; decode only, no postnet/clip.
             @jax.jit
-            def _convert(chunks, trg_latents):
+            def _convert(v, chunks, trg_latents):
                 style_mu, _, content_mu, _ = model_.apply(
-                    variables_, chunks, method="encode")
+                    v, chunks, method="encode")
                 src_z = jnp.concatenate([style_mu, content_mu], axis=-1)
                 z = src_z * (1.0 - mask) + trg_latents * mask
-                return model_.apply(variables_, z, method="decode")
+                return model_.apply(v, z, method="decode")
 
             @jax.jit
-            def _style_of(chunks):
+            def _style_of(v, chunks):
                 style_mu, _, content_mu, _ = model_.apply(
-                    variables_, chunks, method="encode")
+                    v, chunks, method="encode")
                 z = jnp.concatenate([style_mu, content_mu], axis=-1)
                 return jnp.mean(z, axis=0)
 
-        self._convert = _convert
-        self._style_of = _style_of
+        self._convert = lambda chunks, s: _convert(v_dev, chunks, s)
+        self._style_of = lambda chunks: _style_of(v_dev, chunks)
         self._start(max_wait_ms, max_queue, max_batch_utts)
 
     # -- target speaker assets ------------------------------------------

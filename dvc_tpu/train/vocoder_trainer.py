@@ -50,7 +50,15 @@ def create_wavenet_state(rng: jax.Array, cfg: VocoderConfig,
 
 
 def make_wavenet_step(model: WaveNet, optimizer, cfg: VocoderConfig,
-                      ema_decay: float = 0.9999) -> Callable:
+                      ema_decay: float = 0.9999,
+                      ema_warmup: bool = True) -> Callable:
+    """ema_warmup ramps the decay as min(ema_decay, (1+t)/(10+t)) — the
+    classic num_updates schedule.  Without it, a run of N steps leaves
+    ema_decay^N of the INITIAL weights in the trail (0.9999^1500 = 86%),
+    which made short-run EMA generation measure the init, not the model
+    (the round-4 flat holdout trajectory).  The asymptote is unchanged, so
+    a reference-scale 1M-step run (preprocessing/hparams.py:150) still
+    matches the reference recipe's effective decay."""
     def loss_fn(params, x, c, rng):
         y_hat = model.apply({"params": params}, x, c, train=True,
                             rngs={"dropout": rng})
@@ -63,8 +71,13 @@ def make_wavenet_step(model: WaveNet, optimizer, cfg: VocoderConfig,
         loss, grads = jax.value_and_grad(loss_fn)(state.params, x, c, rng)
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        if ema_warmup:
+            t = state.step.astype(jnp.float32)
+            d = jnp.minimum(ema_decay, (1.0 + t) / (10.0 + t))
+        else:
+            d = ema_decay
         new_ema = jax.tree_util.tree_map(
-            lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+            lambda e, p: d * e + (1.0 - d) * p,
             state.ema_params, new_params)
         return WaveNetState(step=state.step + 1, params=new_params,
                             ema_params=new_ema, opt_state=new_opt), loss

@@ -639,7 +639,34 @@ class TestE2EWaveformQuality:
     Measured at this pinned config (seed 1): mel-level direction 4/4;
     waveform MCD toward target 4/4 with mean margin +10.8 dB (natural
     references) — the gate asserts >= 3/4 and > +2 dB.  Chip-scale
-    version: tools/quality_e2e.py."""
+    version: tools/quality_e2e.py.
+
+    Round 5 adds the CONTENT axis (VERDICT r4 item 2) as three tests over
+    one trained fixture:
+    - test_converted_audio_lands_on_target_speaker: the direction gate.
+    - test_content_metric_detects_preservation: validates the content
+      metric (convert.conversion.content_sensitivity) against an ORACLE
+      (profile_transfer_mel — content-preserving by construction) and a
+      content-free DRONE (the target's mean mel profile tiled in time).
+      The metric VERDICT r4 proposed — MCD(converted, target parallel
+      rendition) < MCD(converted, content-mismatched target utterance) —
+      failed validation: the content-perfect oracle itself LOSES it
+      (natural references: oracle 5.0-18.2 dB vs natural-natural control
+      1.5-3.3 dB, 0/4; all-vocoded references: oracle wins only 1/4)
+      because waveform MCD after DTW measures render-path spectral
+      identity, not temporal content.  Sensitivity separates cleanly:
+      oracle 0.99-1.0 mel-level / 0.76-0.78 through the vocoder round
+      trip, drone 0.0, real conversion 0.0004-0.0008.
+    - test_content_preservation_honest_result: strict xfail pinning the
+      measured honest outcome — the FS@0.5 swap (25/32 dims at this
+      scale, 31/32 at chip scale) wins direction by swapping nearly the
+      whole latent and does NOT preserve source content (sensitivity
+      ~0.0006 here; chip-scale content preserved 1/20 at threshold 0.5
+      and every top-k selective mask fails direction,
+      docs/measurements/quality_full_size_20spk_latent32_r5.json).
+      If a model/conversion change makes content preservation real, the
+      strict xfail trips (XPASS -> suite failure) and the gate must be
+      promoted to a hard assert + docs updated."""
 
     FS_HZ = 16_000
     SPEAKERS = {
@@ -677,10 +704,11 @@ class TestE2EWaveformQuality:
             99 * utt + zlib.crc32(spk.encode()) % 97).randn(n)
         return (0.7 * wav).astype(np.float32)
 
-    def test_converted_audio_lands_on_target_speaker(self, tmp_path):
+    @pytest.fixture(scope="class")
+    def e2e(self, tmp_path_factory):
+        """Train the whole chain once; every test below reads from it."""
         from dvc_tpu.convert.conversion import binarize_fs_mask
         from dvc_tpu.data.dataset import PairedMelDataset
-        from dvc_tpu.eval.mcd import evaluate_mcd_wav
         from dvc_tpu.models.istft_vocoder import synthesize as istft_synth
         from dvc_tpu.ops.mel import melspectrogram
         from dvc_tpu.train.feature_selection_trainer import (
@@ -690,6 +718,7 @@ class TestE2EWaveformQuality:
         from dvc_tpu.train.trainer import Trainer
         from dvc_tpu.utils.wavio import write_wav
 
+        tmp_path = tmp_path_factory.mktemp("e2e_waveform")
         audio = C.AudioConfig()
         n = int(0.9 * self.FS_HZ)
         utts, holdout = 10, 2
@@ -748,52 +777,103 @@ class TestE2EWaveformQuality:
                             for u in range(holdout, utts)], axis=0)
                 for s in self.SPEAKERS}
 
-        conv_wavs, src_refs, trg_refs, ctrl_refs, mel_dirn = [], [], [], [], []
+        def vocode(mel):
+            return np.asarray(istft_synth(voc.model, voc_vars,
+                                          jnp.asarray(mel)[None]))[0]
+
+        def mel_of(w):
+            return np.asarray(mel_jit(jnp.asarray(w)))
+
+        conv_wavs, conv_mels, src_refs, trg_refs, mel_dirn = \
+            [], [], [], [], []
         for src, trg in (("sa", "sb"), ("sb", "sa")):
             for u in range(holdout):
                 _, conv = convert_mel(tr.model, variables, mels[(src, u)],
                                       mels[(trg, holdout)], frames=16,
                                       fs_mask=fs_mask)
-                p = np.asarray(conv).mean(axis=1)
-                mel_dirn.append(np.linalg.norm(p - prof[trg])
-                                < np.linalg.norm(p - prof[src]))
-                w = np.asarray(istft_synth(voc.model, voc_vars,
-                                           jnp.asarray(conv)[None]))[0]
-                conv_wavs.append(w)
+                conv = np.asarray(conv)
+                p = conv.mean(axis=1)
+                mel_dirn.append(bool(np.linalg.norm(p - prof[trg])
+                                     < np.linalg.norm(p - prof[src])))
+                conv_mels.append(conv)
+                conv_wavs.append(vocode(conv))
                 src_refs.append(wavs[(src, u)])
                 trg_refs.append(wavs[(trg, u)])  # parallel rendition
-                # content-MISMATCHED control: same target speaker, different
-                # content (utterance holdout+1's modulation seed != u's)
-                ctrl_refs.append(wavs[(trg, holdout + 1)])
+        return dict(mel_dirn=mel_dirn, conv_wavs=conv_wavs,
+                    conv_mels=conv_mels, src_refs=src_refs,
+                    trg_refs=trg_refs, fs_mask=fs_mask, mels=mels,
+                    prof=prof, vocode=vocode, mel_of=mel_of,
+                    holdout=holdout)
+
+    def test_converted_audio_lands_on_target_speaker(self, e2e):
+        from dvc_tpu.eval.mcd import evaluate_mcd_wav
 
         # conversion must land on the target at the MEL level first
         # (isolates a conversion regression from a vocoder regression)
-        assert sum(mel_dirn) == len(mel_dirn), mel_dirn
+        assert sum(e2e["mel_dirn"]) == len(e2e["mel_dirn"]), e2e["mel_dirn"]
 
-        mcd_trg = evaluate_mcd_wav(trg_refs, conv_wavs, self.FS_HZ)
-        mcd_src = evaluate_mcd_wav(src_refs, conv_wavs, self.FS_HZ)
+        mcd_trg = evaluate_mcd_wav(e2e["trg_refs"], e2e["conv_wavs"],
+                                   self.FS_HZ)
+        mcd_src = evaluate_mcd_wav(e2e["src_refs"], e2e["conv_wavs"],
+                                   self.FS_HZ)
         margins = [b - a for a, b in zip(mcd_trg, mcd_src)]
         toward = sum(1 for m in margins if m > 0)
         # measured (seed 1): 4/4, margins +8.5/+11.7/+11.4/+11.6 dB
         assert toward >= 3, list(zip(mcd_trg, mcd_src))
         assert float(np.mean(margins)) > 2.0, margins
 
-        # content-preservation gate (VERDICT r4 item 2): a content-free
-        # target-speaker drone would pass the direction gate above (the
-        # parallel rendition shares the source's content by construction) —
-        # so additionally require the converted audio to be CLOSER to the
-        # target's parallel rendition than a content-mismatched utterance
-        # of the target speaker is.  Both sides of the comparison share the
-        # target's identity; only preserved source content can win it.
-        mcd_ctrl = evaluate_mcd_wav(trg_refs, ctrl_refs, self.FS_HZ)
-        content_margins = [c - t for t, c in zip(mcd_trg, mcd_ctrl)]
-        content_ok = sum(1 for m in content_margins if m > 0)
-        # measured (seed 1, top_k-capped mask): see assertion message on fail
-        assert content_ok >= 3, {
-            "mcd(parallel, converted)": mcd_trg,
-            "mcd(parallel, content-mismatched target)": mcd_ctrl,
-            "n_dims_swapped": int(fs_mask.sum())}
-        assert float(np.mean(content_margins)) > 0.0, content_margins
+    def test_content_metric_detects_preservation(self, e2e):
+        """Metric validity (see class docstring for why the MCD-based
+        formulation was rejected): content_sensitivity must score the
+        profile-transfer oracle ~1 at the mel level and >0.5 through the
+        full vocoder round trip (mel -> wav -> mel), and the content-free
+        drone 0.  The oracle must also win the DIRECTION check — it is
+        the baseline a learned conversion must beat.  Measured (seed 1):
+        pt_mel 0.993/1.000, pt_roundtrip 0.779/0.759, drone 0.0,
+        pt direction 4/4."""
+        from dvc_tpu.convert.conversion import (
+            content_sensitivity, profile_transfer_mel)
+
+        mels, prof, holdout = e2e["mels"], e2e["prof"], e2e["holdout"]
+        for src, trg in (("sa", "sb"), ("sb", "sa")):
+            srcs = [mels[(src, u)] for u in range(holdout)]
+            pt = [profile_transfer_mel(m, prof[src], prof[trg])
+                  for m in srcs]
+            assert content_sensitivity(pt, srcs) > 0.9
+            for m in pt:  # oracle direction: lands on the target profile
+                p = m.mean(axis=1)
+                assert (np.linalg.norm(p - prof[trg])
+                        < np.linalg.norm(p - prof[src]))
+            pt_rt = [e2e["mel_of"](e2e["vocode"](m)) for m in pt]
+            assert content_sensitivity(pt_rt, srcs) > 0.5
+            t_len = srcs[0].shape[1]
+            drone = [np.tile(prof[trg][:, None], (1, t_len))] * 2
+            assert content_sensitivity(drone, srcs) < 0.05
+
+    @pytest.mark.xfail(
+        strict=True,
+        reason="HONEST r5 RESULT (VERDICT r4 item 2): the FS-masked swap "
+               "wins direction by swapping nearly the whole latent and "
+               "does NOT preserve source content — content_sensitivity "
+               "0.0004-0.0008 here (a drone scores 0, the profile-transfer "
+               "oracle 1.0); chip-scale content preserved 1/20 at "
+               "threshold 0.5 and every selective top-k mask fails "
+               "direction (docs/measurements/quality_full_size_20spk_"
+               "latent32_r5.json).  Strict xfail: if conversion starts "
+               "preserving content, this XPASSes and fails the suite — "
+               "promote it to a hard gate and update the docs.")
+    def test_content_preservation_honest_result(self, e2e):
+        from dvc_tpu.convert.conversion import content_sensitivity
+
+        mels, holdout = e2e["mels"], e2e["holdout"]
+        sens = []
+        for i, (src, trg) in enumerate((("sa", "sb"), ("sb", "sa"))):
+            srcs = [mels[(src, u)] for u in range(holdout)]
+            outs = e2e["conv_mels"][i * holdout:(i + 1) * holdout]
+            sens.append(content_sensitivity(outs, srcs))
+        assert min(sens) > 0.25, {
+            "content_sensitivity": sens,
+            "n_dims_swapped": int(e2e["fs_mask"].sum())}
 
 
 class TestFeatureSelectionTrainer:

@@ -134,3 +134,51 @@ class TestFastGenerate:
             in_axes=(1, 0), out_axes=1)(y_hat, rngs)
         np.testing.assert_allclose(np.asarray(resampled), np.asarray(wav),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestEMAWarmup:
+    def test_short_run_ema_tracks_params(self):
+        """With the num_updates warm-up schedule, a short run's EMA trail
+        follows the trained params instead of retaining the init (at decay
+        0.9999 a 1500-step run keeps 86% init weight — the round-4 flat
+        holdout trajectory); without it, it must match the closed form."""
+        from dvc_tpu.train.vocoder_trainer import (
+            create_wavenet_state,
+            make_wavenet_step,
+        )
+
+        hop = 4
+        model, state0, opt = create_wavenet_state(
+            jax.random.PRNGKey(0), TINY, lr=1e-2, max_time_steps=4 * hop)
+        x = jnp.asarray(np.random.RandomState(0).rand(2, 4 * hop, 1) * 2 - 1,
+                        jnp.float32)
+        c = jnp.asarray(np.random.RandomState(1).rand(2, 4, TINY.cin_channels),
+                        jnp.float32)
+        rng = jax.random.PRNGKey(2)
+
+        def leaf(tree):
+            return np.asarray(
+                tree["first_conv"]["kernel"]
+                if "first_conv" in tree else
+                jax.tree_util.tree_leaves(tree)[0])
+
+        init_leaf = leaf(jax.tree_util.tree_map(np.asarray, state0.params))
+
+        n = 30
+        step_w = make_wavenet_step(model, opt, TINY, ema_warmup=True)
+        s = state0  # donated by the first step — init_leaf snapshotted above
+        for _ in range(n):
+            s, _ = step_w(s, x, c, rng)
+        # warm-up decay at t<=30 is <= 31/40: the trail is mostly params
+        gap_w = np.abs(leaf(s.ema_params) - leaf(s.params)).max()
+        drift = np.abs(leaf(s.params) - init_leaf).max()
+        assert gap_w < 0.5 * drift, (gap_w, drift)
+
+        model2, s2, opt2 = create_wavenet_state(
+            jax.random.PRNGKey(0), TINY, lr=1e-2, max_time_steps=4 * hop)
+        step_f = make_wavenet_step(model2, opt2, TINY, ema_warmup=False)
+        for _ in range(n):
+            s2, _ = step_f(s2, x, c, rng)
+        # fixed 0.9999 decay keeps ~0.997 of the INIT after 30 steps
+        gap_f = np.abs(leaf(s2.ema_params) - init_leaf).max()
+        assert gap_f < 0.01 * drift, (gap_f, drift)

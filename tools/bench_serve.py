@@ -36,6 +36,11 @@ def main():
                     help="world: bench the MCC/WORLD serving route "
                          "(WorldConversionService: batched device "
                          "analysis + latent swap + device synthesis)")
+    ap.add_argument("--fs_mask", action="store_true",
+                    help="serve through the FeatureSelection-masked swap "
+                         "(a synthetic binary mask — identity is "
+                         "irrelevant to throughput; the masked program "
+                         "encodes the target content head too)")
     args = ap.parse_args()
     if args.pipeline == "world":
         return bench_world(args)
@@ -93,10 +98,16 @@ def main():
         for i in range(3):
             np.save(os.path.join(d, f"trg_{i:03d}_mel.npy"),
                     np_rng.rand(80, 120).astype(np.float32))
+        fs_mask = None
+        if args.fs_mask:
+            from dvc_tpu.convert.conversion import binarize_fs_mask
+            fs_mask = binarize_fs_mask(
+                np.random.RandomState(7).rand(cfg.vae.latent_dim),
+                cfg.vae.speaker_size, 0.5)
         service = ConversionService(cfg, model, variables, mel_dir,
                                     vocoder=vocoder,
                                     max_batch_chunks=args.requests * 4,
-                                    max_wait_ms=200.0)
+                                    max_wait_ms=200.0, fs_mask=fs_mask)
         mels = [np_rng.rand(80, args.frames).astype(np.float32)
                 for _ in range(args.requests)]
 
@@ -127,8 +138,10 @@ def main():
         audio_s = args.requests * args.frames * hop / float(
             cfg.audio.sample_rate)
         s = service.stats
+        suffix = "_fsmask" if args.fs_mask else ""
         print(json.dumps({
-            "metric": f"serve_concurrent_requests_realtime_x_{args.vocoder}",
+            "metric": ("serve_concurrent_requests_realtime_x_"
+                       f"{args.vocoder}{suffix}"),
             "value": round(audio_s / best, 1), "unit": "x realtime aggregate",
             "requests": args.requests, "audio_s": round(audio_s, 1),
             "wall_s": round(best, 3),

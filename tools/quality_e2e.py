@@ -105,6 +105,10 @@ def main() -> None:
     ap.add_argument("--latent", type=int, default=8)
     ap.add_argument("--fs_swap", action="store_true")
     ap.add_argument("--fs_epochs", type=int, default=60)
+    ap.add_argument("--fs_top_k", type=int, default=None,
+                    help="cap the FS swap at the top-k highest-sigmoid "
+                         "CONTENT dims (style always swaps) — selective "
+                         "masks preserve source content; VERDICT r4 item 2")
     ap.add_argument("--analysis", default="native",
                     choices=["native", "device"])
     ap.add_argument("--out", default=None)
@@ -181,7 +185,8 @@ def main() -> None:
                     epochs=args.fs_epochs,
                     logging_func=lambda s: print(s, file=sys.stderr))
         fs_mask = binarize_fs_mask(fs_tr.feature_mask(np.concatenate(lat)),
-                                   cfg.vae.speaker_size)
+                                   cfg.vae.speaker_size,
+                                   top_k=args.fs_top_k)
 
     # --- vocoder training (both speakers' train wavs) --------------------
     voc = ISTFTVocoderTrainer(audio=audio, seed=0)
@@ -212,8 +217,12 @@ def main() -> None:
         return np.asarray(istft_synth(voc.model, voc_vars,
                                       jnp.asarray(mel)[None]))[0]
 
-    conv_wavs, src_refs, trg_refs = [], [], []
-    vsrc_refs, vtrg_refs, mel_dirn = [], [], []
+    def traj(m):
+        x = np.asarray(m).mean(axis=0)
+        return (x - x.mean()) / max(x.std(), 1e-9)
+
+    conv_wavs, conv_mels, src_refs, trg_refs, keys = [], [], [], [], []
+    vsrc_refs, vtrg_refs, vctrl_refs, ctrl_refs, mel_dirn = [], [], [], [], []
     for src, trg in (("sa", "sb"), ("sb", "sa")):
         for u in range(args.holdout):
             src_mel = mels[(src, u)]
@@ -225,10 +234,16 @@ def main() -> None:
                                  < np.linalg.norm(p - prof[src])))
             w = vocode(conv)
             conv_wavs.append(w)
+            conv_mels.append(np.asarray(conv))
+            keys.append((src, trg, u))
             src_refs.append(wavs[(src, u)])
             trg_refs.append(wavs[(trg, u)])  # parallel rendition
             vsrc_refs.append(vocode(mels[(src, u)]))
             vtrg_refs.append(vocode(mels[(trg, u)]))
+            # content-MISMATCHED control: same target speaker, different
+            # content (utterance holdout+1); natural + vocoded renderings
+            ctrl_refs.append(wavs[(trg, args.holdout + 1)])
+            vctrl_refs.append(vocode(mels[(trg, args.holdout + 1)]))
             write_wav(os.path.join(gen_dir,
                                    f"convert_{src}_to_{trg}_{u:03d}.wav"),
                       w, FS)
@@ -240,6 +255,59 @@ def main() -> None:
                                 analysis=args.analysis)
     vmcd_src = evaluate_mcd_wav(vsrc_refs, conv_wavs, FS,
                                 analysis=args.analysis)
+    # content-preservation margins (VERDICT r4 item 2), three controls:
+    #   natural  — MCD(parallel, mismatched-target-utt) - MCD(parallel,
+    #              converted): the verdict's literal formula; vocoder
+    #              fidelity is part of what's measured;
+    #   vocoded  — both sides rendered through the SAME vocoder, so its
+    #              coloration cancels and only content differs;
+    #   cross    — MCD(parallel_u, conv of a DIFFERENT source utterance):
+    #              a content-free drone scores ~0 here by construction.
+    mcd_ctrl_nat = evaluate_mcd_wav(trg_refs, ctrl_refs, FS,
+                                    analysis=args.analysis)
+    mcd_ctrl_voc = evaluate_mcd_wav(vtrg_refs, vctrl_refs, FS,
+                                    analysis=args.analysis)
+    cross_conv = []
+    for (src, trg, u) in keys:
+        alt = [j for j, (s2, t2, u2) in enumerate(keys)
+               if s2 == src and t2 == trg and u2 != u]
+        cross_conv.append(conv_wavs[alt[0]])
+    mcd_cross = evaluate_mcd_wav(trg_refs, cross_conv, FS,
+                                 analysis=args.analysis)
+    cmargins_nat = [c - t for t, c in zip(mcd_trg, mcd_ctrl_nat)]
+    cmargins_voc = [c - t for t, c in zip(mcd_trg, mcd_ctrl_voc)]
+    cmargins_cross = [x - t for t, x in zip(mcd_trg, mcd_cross)]
+    # content sensitivity (the VALIDATED content metric — see
+    # tests/test_pipeline.py::TestE2EWaveformQuality for why the MCD
+    # controls above are diagnostics, not gates: the content-perfect
+    # profile-transfer oracle itself loses them): per conversion
+    # direction, mean|conv(u0)-conv(u1)| / mean|src_u0-src_u1|.
+    # 1.0 = content preserved (profile-transfer oracle), 0 = drone.
+    from dvc_tpu.convert.conversion import (
+        content_sensitivity, profile_transfer_mel)
+    sens_conv, sens_oracle = {}, {}
+    for src, trg in (("sa", "sb"), ("sb", "sa")):
+        idx = [j for j, (s2, t2, _u) in enumerate(keys)
+               if s2 == src and t2 == trg][:2]
+        srcs = [mels[(src, keys[j][2])] for j in idx]
+        sens_conv[f"{src}->{trg}"] = round(content_sensitivity(
+            [conv_mels[j] for j in idx], srcs), 4)
+        pt = [profile_transfer_mel(m, prof[src], prof[trg]) for m in srcs]
+        sens_oracle[f"{src}->{trg}"] = round(content_sensitivity(
+            [np.asarray(melspectrogram(jnp.asarray(vocode(m)), audio))
+             for m in pt], srcs), 4)
+
+    tcorr_own, tcorr_cross = [], []
+    for i, (src, trg, u) in enumerate(keys):
+        tsrc = mels[(src, u)]
+        tlen = tsrc.shape[1]
+        tcorr_own.append(float(np.corrcoef(
+            traj(conv_mels[i][:, :tlen]), traj(tsrc))[0, 1]))
+        u2 = args.holdout + 1
+        tlen2 = min(tlen, mels[(trg, u2)].shape[1])
+        tcorr_cross.append(float(np.corrcoef(
+            traj(conv_mels[i][:, :tlen2]),
+            traj(mels[(trg, u2)][:, :tlen2]))[0, 1]))
     for i, (a, b) in enumerate(zip(mcd_trg, mcd_src)):
         margins.append(b - a)
         vmargins.append(vmcd_src[i] - vmcd_trg[i])
@@ -247,24 +315,43 @@ def main() -> None:
                      "mcd_to_source": round(b, 3),
                      "vocoded_ref_mcd_to_target": round(vmcd_trg[i], 3),
                      "vocoded_ref_mcd_to_source": round(vmcd_src[i], 3),
+                     "mcd_ctrl_natural": round(mcd_ctrl_nat[i], 3),
+                     "mcd_ctrl_vocoded": round(mcd_ctrl_voc[i], 3),
+                     "mcd_cross_converted": round(mcd_cross[i], 3),
+                     "traj_corr_own": round(tcorr_own[i], 3),
+                     "traj_corr_cross": round(tcorr_cross[i], 3),
                      "mel_level_toward_target": mel_dirn[i]})
+
+    def frac(ms):
+        return f"{sum(1 for m in ms if m > 0)}/{len(ms)}"
 
     result = {
         "metric": "e2e_waveform_mcd_direction",
         "latent": args.latent,
         "fs_swap": bool(args.fs_swap),
+        "n_dims_swapped": (int(fs_mask.sum()) if fs_mask is not None
+                           else cfg.vae.speaker_size),
+        "fs_top_k": args.fs_top_k,
         "epochs": args.epochs,
         "voc_steps": args.voc_steps,
         "voc_final_loss": round(float(np.mean(losses[-20:])), 4),
         "train_seconds": round(time.perf_counter() - t0, 1),
         "mel_level_toward_target": f"{sum(mel_dirn)}/{len(mel_dirn)}",
-        "pairs_toward_target": f"{sum(1 for m in margins if m > 0)}"
-                               f"/{len(margins)}",
+        "pairs_toward_target": frac(margins),
         "mean_mcd_margin_db": round(float(np.mean(margins)), 3),
-        "vocoded_ref_toward_target":
-            f"{sum(1 for m in vmargins if m > 0)}/{len(vmargins)}",
+        "vocoded_ref_toward_target": frac(vmargins),
         "vocoded_ref_mean_margin_db": round(float(np.mean(vmargins)), 3),
         "mean_mcd_to_target_db": round(float(np.mean(mcd_trg)), 3),
+        "content_preserved_natural": frac(cmargins_nat),
+        "content_margin_natural_db": round(float(np.mean(cmargins_nat)), 3),
+        "content_preserved_vocoded": frac(cmargins_voc),
+        "content_margin_vocoded_db": round(float(np.mean(cmargins_voc)), 3),
+        "content_preserved_cross": frac(cmargins_cross),
+        "content_margin_cross_db": round(float(np.mean(cmargins_cross)), 3),
+        "mean_traj_corr_own": round(float(np.mean(tcorr_own)), 3),
+        "mean_traj_corr_cross": round(float(np.mean(tcorr_cross)), 3),
+        "content_sensitivity_conv": sens_conv,
+        "content_sensitivity_oracle_roundtrip": sens_oracle,
         "pairs": rows,
     }
     print(json.dumps(result))

@@ -111,7 +111,7 @@ def traj_corr(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def measure_pairs(model, variables, held, profs, frames, pairs,
-                  fs_mask=None, held_content=None):
+                  fs_mask=None, held_content=None, held2=None):
     """Direction margins (profile distance toward target vs source) and —
     when held_content is given — content margins (VERDICT r4 item 2):
       content_margin = framewise_dist(target-parallel, content-MISMATCHED
@@ -126,7 +126,7 @@ def measure_pairs(model, variables, held, profs, frames, pairs,
     from dvc_tpu.convert.conversion import convert_mel
 
     recon_l1s, margins, rows = [], [], []
-    content_margins, traj_corrs = [], []
+    content_margins, traj_corrs, sens_list = [], [], []
     for si, ti in pairs:
         recons, converted = convert_mel(model, variables, held[si],
                                         held[ti], frames=frames,
@@ -152,8 +152,21 @@ def measure_pairs(model, variables, held, profs, frames, pairs,
             row.update({"d_parallel": round(d_par, 4),
                         "d_mismatch": round(d_mis, 4),
                         "traj_corr": round(corr, 4)})
+        if held2 is not None:
+            # content sensitivity (the validated metric — see
+            # convert/conversion.content_sensitivity): convert a SECOND
+            # held utterance of the same source to the same target and
+            # measure how much of the source's utterance-to-utterance
+            # variation survives.  1 = preserved, 0 = drone.
+            from dvc_tpu.convert.conversion import content_sensitivity
+            _, conv2 = convert_mel(model, variables, held2[si], held[ti],
+                                   frames=frames, fs_mask=fs_mask)
+            s = content_sensitivity([converted, conv2],
+                                    [held[si], held2[si]])
+            sens_list.append(s)
+            row["content_sensitivity"] = round(s, 4)
         rows.append(row)
-    return recon_l1s, margins, rows, content_margins, traj_corrs
+    return recon_l1s, margins, rows, content_margins, traj_corrs, sens_list
 
 
 def main() -> None:
@@ -229,6 +242,10 @@ def main() -> None:
     held_content = [make_content(hold, 72) for _ in profs]
     held = [synth_mel(p, hold, 72, content=c)
             for p, c in zip(profs, held_content)]
+    # a SECOND held utterance per speaker, for content sensitivity
+    held2_content = [make_content(hold, 72) for _ in profs]
+    held2 = [synth_mel(p, hold, 72, content=c)
+             for p, c in zip(profs, held2_content)]
 
     # deterministic ordered-pair sample (round-robin offsets cover every
     # speaker as source and target before repeating a source)
@@ -237,7 +254,7 @@ def main() -> None:
                  for s in range(args.speakers)]
     pairs = all_pairs[:min(args.pairs, len(all_pairs))]
 
-    def summarize(margins, cmargins, tcorrs):
+    def summarize(margins, cmargins, tcorrs, sens):
         out = {
             "pairs_toward_target": f"{sum(1 for m in margins if m > 0)}"
                                    f"/{len(margins)}",
@@ -248,11 +265,13 @@ def main() -> None:
                 f"{sum(1 for m in cmargins if m > 0)}/{len(cmargins)}"
             out["mean_content_margin"] = round(float(np.mean(cmargins)), 4)
             out["mean_traj_corr"] = round(float(np.mean(tcorrs)), 4)
+        if sens:
+            out["mean_content_sensitivity"] = round(float(np.mean(sens)), 4)
         return out
 
-    recon_l1s, margins, rows, cmargins, tcorrs = measure_pairs(
+    recon_l1s, margins, rows, cmargins, tcorrs, sens = measure_pairs(
         tr.model, variables, held, profs, cfg.vae.frames, pairs,
-        held_content=held_content)
+        held_content=held_content, held2=held2)
 
     result = {
         "metric": "full_size_mel_conversion_quality",
@@ -265,7 +284,7 @@ def main() -> None:
         "final_recon_per_frame": round(
             totals["mse_x1"] / (80 * cfg.vae.frames), 4),
         "holdout_recon_l1_mean": round(float(np.mean(recon_l1s)), 4),
-        **summarize(margins, cmargins, tcorrs),
+        **summarize(margins, cmargins, tcorrs, sens),
         "pairs": rows,
     }
 
@@ -296,15 +315,15 @@ def main() -> None:
         for kind, k in sweep_cfgs:
             mask = binarize_fs_mask(sig_mask, cfg.vae.speaker_size,
                                     args.fs_threshold, top_k=k)
-            _, fs_m, fs_rows, fs_cm, fs_tc = measure_pairs(
+            _, fs_m, fs_rows, fs_cm, fs_tc, fs_sens = measure_pairs(
                 tr.model, variables, held, profs, cfg.vae.frames, pairs,
-                fs_mask=mask, held_content=held_content)
+                fs_mask=mask, held_content=held_content, held2=held2)
             sweep.append({
                 "mask": (f"threshold={args.fs_threshold}" if k is None
                          else f"top_k={k}"),
                 "n_dims_swapped": int(mask.sum()),
                 "swap_dims": np.where(mask > 0)[0].tolist(),
-                **summarize(fs_m, fs_cm, fs_tc),
+                **summarize(fs_m, fs_cm, fs_tc, fs_sens),
                 "pairs": fs_rows,
             })
         result["fs"] = {
