@@ -111,7 +111,8 @@ def traj_corr(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def measure_pairs(model, variables, held, profs, frames, pairs,
-                  fs_mask=None, held_content=None, held2=None):
+                  fs_mask=None, held_content=None, held2=None,
+                  convert_fn=None):
     """Direction margins (profile distance toward target vs source) and —
     when held_content is given — content margins (VERDICT r4 item 2):
       content_margin = framewise_dist(target-parallel, content-MISMATCHED
@@ -122,15 +123,21 @@ def measure_pairs(model, variables, held, profs, frames, pairs,
     exactly for this synthetic corpus).  Positive = the conversion kept
     enough source content to beat a wrong-content utterance of the same
     target speaker.  Also reports corr(converted, source) of z-scored
-    energy trajectories."""
+    energy trajectories.
+
+    convert_fn (src_mel, trg_mel) -> (recons, converted) overrides the
+    model path — used for the profile-transfer DSP baseline row."""
     from dvc_tpu.convert.conversion import convert_mel
+
+    if convert_fn is None:
+        def convert_fn(src_mel, trg_mel):
+            return convert_mel(model, variables, src_mel, trg_mel,
+                               frames=frames, fs_mask=fs_mask)
 
     recon_l1s, margins, rows = [], [], []
     content_margins, traj_corrs, sens_list = [], [], []
     for si, ti in pairs:
-        recons, converted = convert_mel(model, variables, held[si],
-                                        held[ti], frames=frames,
-                                        fs_mask=fs_mask)
+        recons, converted = convert_fn(held[si], held[ti])
         rl1 = float(np.mean(np.abs(
             np.asarray(recons)[:, :held[si].shape[1]] - held[si])))
         d_trg = profile_dist(converted, profs[ti])
@@ -159,8 +166,7 @@ def measure_pairs(model, variables, held, profs, frames, pairs,
             # measure how much of the source's utterance-to-utterance
             # variation survives.  1 = preserved, 0 = drone.
             from dvc_tpu.convert.conversion import content_sensitivity
-            _, conv2 = convert_mel(model, variables, held2[si], held[ti],
-                                   frames=frames, fs_mask=fs_mask)
+            _, conv2 = convert_fn(held2[si], held[ti])
             s = content_sensitivity([converted, conv2],
                                     [held[si], held2[si]])
             sens_list.append(s)
@@ -206,13 +212,17 @@ def main() -> None:
     rng = np.random.RandomState(0)
     profs = speaker_profiles(args.speakers, rng)
     os.makedirs(args.data_dir, exist_ok=True)
+    mel_profs = []  # per-speaker TRAIN-corpus mean mel (for the baseline)
     for si, prof in enumerate(profs):
         d = os.path.join(args.data_dir, f"s{si}")
         os.makedirs(d, exist_ok=True)
+        means = []
         for i in range(args.utts):
             t = 64 + int(rng.rand() * 32)
-            np.save(os.path.join(d, f"s{si}_{i:03d}_mel.npy"),
-                    synth_mel(prof, rng, t))
+            m = synth_mel(prof, rng, t)
+            np.save(os.path.join(d, f"s{si}_{i:03d}_mel.npy"), m)
+            means.append(m.mean(axis=1))
+        mel_profs.append(np.mean(means, axis=0))
 
     # FULL flagship architecture: every dim at the reference's value
     # (optionally a narrower latent — see --latent help)
@@ -273,6 +283,29 @@ def main() -> None:
         tr.model, variables, held, profs, cfg.vae.frames, pairs,
         held_content=held_content, held2=held2)
 
+    # profile-transfer DSP baseline (convert/conversion.py): shifts the
+    # source mel by the difference of train-corpus mean-mel profiles —
+    # content-preserving BY CONSTRUCTION, no model.  Any learned
+    # conversion must beat this trivial baseline on direction to justify
+    # itself, and its content columns calibrate the metrics (sensitivity
+    # ~1, traj_corr ~1).
+    from dvc_tpu.convert.conversion import profile_transfer_mel
+
+    def baseline_convert(src_mel, trg_mel):
+        # recover speaker indices by identity (held/held2 are the only
+        # arrays measure_pairs passes in)
+        si = next(i for i, h in enumerate(held) if h is src_mel) \
+            if any(h is src_mel for h in held) else \
+            next(i for i, h in enumerate(held2) if h is src_mel)
+        ti = next(i for i, h in enumerate(held) if h is trg_mel)
+        return src_mel, profile_transfer_mel(src_mel, mel_profs[si],
+                                             mel_profs[ti])
+
+    _, bl_m, _bl_rows, bl_cm, bl_tc, bl_sens = measure_pairs(
+        None, None, held, profs, cfg.vae.frames, pairs,
+        held_content=held_content, held2=held2,
+        convert_fn=baseline_convert)
+
     result = {
         "metric": "full_size_mel_conversion_quality",
         "architecture": (f"frames=64 enc512 latent{cfg.vae.latent_dim}"
@@ -285,6 +318,7 @@ def main() -> None:
             totals["mse_x1"] / (80 * cfg.vae.frames), 4),
         "holdout_recon_l1_mean": round(float(np.mean(recon_l1s)), 4),
         **summarize(margins, cmargins, tcorrs, sens),
+        "profile_transfer_baseline": summarize(bl_m, bl_cm, bl_tc, bl_sens),
         "pairs": rows,
     }
 
