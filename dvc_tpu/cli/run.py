@@ -38,6 +38,17 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--kl_cof", type=float, default=10.0)
     p.add_argument("--style_cof", type=float, default=0.1)
     p.add_argument("--beta_cof", type=float, default=0.1)
+    p.add_argument("--adv_cof", type=float, default=0.0,
+                   help="weight of the gradient-reversal speaker-classifier "
+                        "CE on the content latent (train/adversarial.py) — "
+                        "an additive regularizer against identity leaking "
+                        "into the content dims; 0 (default) keeps the "
+                        "reference objective exactly")
+    p.add_argument("--adv_lr", type=float, default=1e-3)
+    p.add_argument("--adv_mode", default="confusion",
+                   choices=["confusion", "grl"],
+                   help="adversarial formulation (confusion is "
+                        "non-saturating; see train/adversarial.py)")
     p.add_argument("--compute-dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--checkpoint-format", default="msgpack",
@@ -64,7 +75,10 @@ def _config_from_args(args) -> "Config":
     vae = C.VAEConfig(latent_dim=args.latent_size, speaker_size=args.speaker_size,
                       frames=args.samples_length, num_mels=num_mels)
     loss = C.LossConfig(mse_cof=args.mse_cof, kl_cof=args.kl_cof,
-                        style_cof=args.style_cof, beta_cof=args.beta_cof)
+                        style_cof=args.style_cof, beta_cof=args.beta_cof,
+                        adv_cof=getattr(args, "adv_cof", 0.0),
+                        adv_lr=getattr(args, "adv_lr", 1e-3),
+                        adv_mode=getattr(args, "adv_mode", "confusion"))
     train = C.TrainConfig(batch_size=args.batch_size, learning_rate=args.lr,
                           epochs=args.epochs, report_interval=args.report_interval,
                           seed=args.seed, samples_length=args.samples_length,
@@ -89,13 +103,18 @@ def cmd_train(args) -> int:
     from dvc_tpu.train.trainer import Trainer
 
     cfg = _config_from_args(args)
+    ds_cls = PairedMCCDataset if args.features == "mcc" else PairedMelDataset
+    dataset = ds_cls(args.dataset_fp, samples_length=args.samples_length,
+                     seed=args.seed)
+    if cfg.loss.adv_cof > 0:
+        # the adversary needs the corpus speaker count (classifier width)
+        import dataclasses as _dc
+        cfg = cfg.replace(loss=_dc.replace(
+            cfg.loss, adv_speakers=len(dataset.speaker_ids)))
     os.makedirs(args.log_dir, exist_ok=True)
     with open(os.path.join(args.log_dir, "config.json"), "w") as f:
         f.write(cfg.to_json())
 
-    ds_cls = PairedMCCDataset if args.features == "mcc" else PairedMelDataset
-    dataset = ds_cls(args.dataset_fp, samples_length=args.samples_length,
-                     seed=args.seed)
     trainer = Trainer(cfg,
                       checkpoints_path=os.path.join(args.log_dir, "checkpoints"),
                       logs_path=os.path.join(args.log_dir, "logs"),

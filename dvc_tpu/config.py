@@ -103,6 +103,14 @@ class LossConfig:
     kl_cof: float = 10.0
     style_cof: float = 0.1       # computed/logged but NOT in the total (parity quirk)
     beta_cof: float = 0.1
+    # TPU-native additive option (train/adversarial.py): weight of the
+    # gradient-reversal speaker-classifier CE on the content posterior mean.
+    # 0 (default) keeps the reference objective bit-identical; > 0 requires
+    # adv_speakers (the corpus speaker count) to be set too.
+    adv_cof: float = 0.0
+    adv_speakers: int = 0
+    adv_lr: float = 1e-3
+    adv_mode: str = "confusion"  # or "grl"; see train/adversarial.py
 
 
 @dataclass(frozen=True)

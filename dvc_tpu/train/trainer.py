@@ -164,34 +164,86 @@ class Trainer:
             self.mesh = None
         rng = jax.random.PRNGKey(self.cfg.train.seed)
         self.model, self.state, self.optimizer = create_train_state(rng, self.cfg)
+        # adversarial content regularization (additive, train/adversarial.py):
+        # LossConfig.adv_cof > 0 swaps the step for the DANN variant.  The
+        # adversary's state lives beside (not inside) the VAE TrainState so
+        # checkpoints stay reference-interchangeable; it is not checkpointed
+        # (re-warms within a few epochs after a resume).
+        self._adv_model = self._adv_state = self._adv_opt = None
+        if self.cfg.loss.adv_cof > 0:
+            if self.cfg.loss.adv_speakers <= 0:
+                raise ValueError("LossConfig.adv_cof > 0 requires "
+                                 "adv_speakers (the corpus speaker count)")
+            from dvc_tpu.train.adversarial import create_adv_state
+            self._adv_model, self._adv_state, self._adv_opt = \
+                create_adv_state(jax.random.PRNGKey(self.cfg.train.seed + 2),
+                                 self.cfg.vae.content_size,
+                                 self.cfg.loss.adv_speakers,
+                                 learning_rate=self.cfg.loss.adv_lr)
         if self.mesh is not None:
             # explicit in/out shardings: tensor-parallel params over 'model'
             # (replicated when model_parallel=1, the designed default for
             # this ~50M-param model), ZeRO opt state over 'data' when
             # MeshConfig.shard_opt_state, batch over 'data'
-            raw_step = make_train_step(
-                self.model, self.optimizer,
-                mse_cof=self.cfg.loss.mse_cof, kl_cof=self.cfg.loss.kl_cof,
-                compute_dtype=self.cfg.train.compute_dtype,
-                jit=False, remat=self.cfg.train.remat)
             self._state_shardings = train_state_shardings(
                 self.state, self.mesh, self.cfg.mesh.shard_opt_state)
             batch_sh = data_sharding(self.mesh, ndim=3)
             rep = replicated(self.mesh)
-            self.train_step = jax.jit(
-                raw_step,
-                in_shardings=(self._state_shardings, batch_sh, batch_sh, rep),
-                out_shardings=(self._state_shardings, rep),
-                donate_argnums=(0,) if self.cfg.train.donate_state else ())
+            donate_state = self.cfg.train.donate_state
+            if self._adv_model is not None:
+                from dvc_tpu.train.adversarial import make_adv_train_step
+                raw_step = make_adv_train_step(
+                    self.model, self.optimizer, self._adv_model,
+                    self._adv_opt,
+                    mse_cof=self.cfg.loss.mse_cof,
+                    kl_cof=self.cfg.loss.kl_cof,
+                    adv_cof=self.cfg.loss.adv_cof,
+                    mode=self.cfg.loss.adv_mode,
+                    compute_dtype=self.cfg.train.compute_dtype,
+                    jit=False, remat=self.cfg.train.remat)
+                spk_sh = data_sharding(self.mesh, ndim=1)
+                self.train_step = jax.jit(
+                    raw_step,
+                    in_shardings=(self._state_shardings, rep,
+                                  batch_sh, batch_sh, spk_sh, rep),
+                    out_shardings=(self._state_shardings, rep, rep, rep),
+                    donate_argnums=(0, 1) if donate_state else ())
+                self._adv_state = jax.device_put(self._adv_state, rep)
+            else:
+                raw_step = make_train_step(
+                    self.model, self.optimizer,
+                    mse_cof=self.cfg.loss.mse_cof,
+                    kl_cof=self.cfg.loss.kl_cof,
+                    compute_dtype=self.cfg.train.compute_dtype,
+                    jit=False, remat=self.cfg.train.remat)
+                self.train_step = jax.jit(
+                    raw_step,
+                    in_shardings=(self._state_shardings, batch_sh, batch_sh,
+                                  rep),
+                    out_shardings=(self._state_shardings, rep),
+                    donate_argnums=(0,) if donate_state else ())
             self.state = jax.device_put(self.state, self._state_shardings)
         else:
             self._state_shardings = None
-            self.train_step = make_train_step(
-                self.model, self.optimizer,
-                mse_cof=self.cfg.loss.mse_cof, kl_cof=self.cfg.loss.kl_cof,
-                compute_dtype=self.cfg.train.compute_dtype,
-                donate=self.cfg.train.donate_state,
-                remat=self.cfg.train.remat)
+            if self._adv_model is not None:
+                from dvc_tpu.train.adversarial import make_adv_train_step
+                self.train_step = make_adv_train_step(
+                    self.model, self.optimizer, self._adv_model,
+                    self._adv_opt,
+                    mse_cof=self.cfg.loss.mse_cof,
+                    kl_cof=self.cfg.loss.kl_cof,
+                    adv_cof=self.cfg.loss.adv_cof,
+                    mode=self.cfg.loss.adv_mode,
+                    compute_dtype=self.cfg.train.compute_dtype,
+                    donate=self.cfg.train.donate_state,
+                    remat=self.cfg.train.remat)
+            else:
+                self.train_step = make_train_step(
+                    self.model, self.optimizer,
+                    mse_cof=self.cfg.loss.mse_cof, kl_cof=self.cfg.loss.kl_cof,
+                    compute_dtype=self.cfg.train.compute_dtype,
+                    donate=self.cfg.train.donate_state,
+                    remat=self.cfg.train.remat)
         self._rng = jax.random.PRNGKey(self.cfg.train.seed + 1)
         self._writer = None
         self._eval_step = None
@@ -263,17 +315,29 @@ class Trainer:
         from dvc_tpu.data.dataset import prefetch
 
         totals = np.zeros(8, np.float64)
+        adv_totals = np.zeros(2, np.float64)
         n_batches = 0
-        for x1, x2, _spk in prefetch(
+        for x1, x2, spk in prefetch(
                 dataset.batches(self._effective_batch_size(dataset))):
-            if self.mesh is not None:
-                x1, x2 = shard_batch((x1, x2), self.mesh)
-            self.state, terms = self.train_step(self.state, x1, x2, self._rng)
+            if self._adv_model is not None:
+                if self.mesh is not None:
+                    x1, x2, spk = shard_batch((x1, x2, spk), self.mesh)
+                self.state, self._adv_state, terms, adv_m = self.train_step(
+                    self.state, self._adv_state, x1, x2, spk, self._rng)
+                adv_totals += [float(adv_m["adv_ce"]),
+                               float(adv_m["adv_acc"])]
+            else:
+                if self.mesh is not None:
+                    x1, x2 = shard_batch((x1, x2), self.mesh)
+                self.state, terms = self.train_step(self.state, x1, x2,
+                                                    self._rng)
             totals += np.asarray(jax.device_get(terms), np.float64)
             n_batches += 1
         dataset.shuffle_data()  # re-pair utterances (reference :96)
         keys = LossTerms._fields
         out = {k: float(v) for k, v in zip(keys, totals)}
+        if self._adv_model is not None:
+            out["adv_ce"], out["adv_acc"] = adv_totals
         out["n_batches"] = n_batches
         return out
 
@@ -301,6 +365,9 @@ class Trainer:
                 writer.add_scalar("Loss\\Z1 KL Loss", totals["z1_kl"] / n, epoch)
                 writer.add_scalar("Loss\\Z2 KL Loss", totals["z2_kl"] / n, epoch)
                 writer.add_scalar("Loss\\Z KL Style", totals["z_style_kl"] / n, epoch)
+                if "adv_ce" in totals:  # adversarial content regularizer
+                    writer.add_scalar("Loss\\Adversary CE", totals["adv_ce"] / n, epoch)
+                    writer.add_scalar("Loss\\Adversary Acc", totals["adv_acc"] / n, epoch)
             if self.checkpoints_path and epoch % report_interval == 0:
                 self.save(epoch)
                 # reference also dumps reconstruction pngs each interval
