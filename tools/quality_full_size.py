@@ -198,6 +198,14 @@ def main() -> None:
                          "VERDICT r4 item 2 — measures whether a SELECTIVE "
                          "mask still converts direction while preserving "
                          "content")
+    ap.add_argument("--adv_cof", type=float, default=0.0,
+                    help="weight of the adversarial content regularizer "
+                         "(train/adversarial.py) — measures whether an "
+                         "explicit speaker classifier on the content "
+                         "latent improves disentanglement at this scale")
+    ap.add_argument("--adv_mode", default="confusion",
+                    choices=["confusion", "grl"])
+    ap.add_argument("--adv_lr", type=float, default=1e-3)
     ap.add_argument("--pairs", type=int, default=20,
                     help="number of ordered speaker pairs to measure "
                          "(deterministic sample; all pairs if >= n*(n-1))")
@@ -228,7 +236,10 @@ def main() -> None:
     # (optionally a narrower latent — see --latent help)
     vae = C.VAEConfig() if args.latent is None \
         else C.VAEConfig(latent_dim=args.latent)
-    cfg = C.Config(vae=vae,
+    loss = C.LossConfig(adv_cof=args.adv_cof, adv_lr=args.adv_lr,
+                        adv_mode=args.adv_mode,
+                        adv_speakers=args.speakers if args.adv_cof > 0 else 0)
+    cfg = C.Config(vae=vae, loss=loss,
                    train=C.TrainConfig(batch_size=args.batch_size,
                                        learning_rate=args.lr,
                                        seed=args.seed))
@@ -314,6 +325,10 @@ def main() -> None:
         "speakers": args.speakers,
         "epochs": args.epochs,
         "train_seconds": round(train_s, 1),
+        **({"adv_cof": args.adv_cof, "adv_mode": args.adv_mode,
+            "final_adv_acc": round(
+                totals["adv_acc"] / max(totals["n_batches"], 1), 4)}
+           if args.adv_cof > 0 else {}),
         "final_recon_per_frame": round(
             totals["mse_x1"] / (80 * cfg.vae.frames), 4),
         "holdout_recon_l1_mean": round(float(np.mean(recon_l1s)), 4),
