@@ -861,7 +861,11 @@ class TestE2EWaveformQuality:
                "direction (docs/measurements/quality_full_size_20spk_"
                "latent32_r5.json).  Strict xfail: if conversion starts "
                "preserving content, this XPASSes and fails the suite — "
-               "promote it to a hard gate and update the docs.")
+               "promote it to a hard gate and update the docs.  "
+               "Chip-scale mitigation measured (not reproducible at this "
+               "toy scale, where recon dominates — train/adversarial.py "
+               "docstring #3): train --adv_cof; dose-response in "
+               "quality_full_size_20spk_latent32_2400ep_adv*_r5.json.")
     def test_content_preservation_honest_result(self, e2e):
         from dvc_tpu.convert.conversion import content_sensitivity
 
