@@ -126,11 +126,21 @@ def _measure_rates(compute_dtype: str) -> tuple[float, float]:
     grads = g(variables, x)
     float(jax.tree_util.tree_leaves(grads)[0].reshape(-1)[0])  # warm + sync
     n = 12  # ~250 ms of device work per fetch >> the ~27 ms tunnel floor
-    t0 = time.perf_counter()
-    for _ in range(n):
-        grads = g(variables, x)
-    float(jax.tree_util.tree_leaves(grads)[0].reshape(-1)[0])
-    r_lstm = flops_call * n / (time.perf_counter() - t0) / 1e12
+
+    def timed_lstm():
+        t0 = time.perf_counter()
+        gr = None
+        for _ in range(n):
+            gr = g(variables, x)
+        float(jax.tree_util.tree_leaves(gr)[0].reshape(-1)[0])
+        return time.perf_counter() - t0
+
+    # best-of-3: a single timing is still vulnerable to transient HOST
+    # contention (dispatch issue stalls leave the device idle between
+    # queued calls — observed mid-round-5 when the CPU test suite ran
+    # beside bench: matmul rate read 67 instead of 162 TFLOP/s); min time
+    # is the contention-free estimate
+    r_lstm = flops_call * n / min(timed_lstm() for _ in range(3)) / 1e12
 
     # -- large-matmul attainable rate ------------------------------------
     # VERDICT r4 weak-item 2: a single 8-iteration dispatch (~6 ms device
@@ -154,11 +164,19 @@ def _measure_rates(compute_dtype: str) -> tuple[float, float]:
     out = mm(a)
     float(out.astype(jnp.float32)[0, 0])  # warm + sync
     n_mm = 4
-    t0 = time.perf_counter()
-    for _ in range(n_mm):
-        out = mm(out)
-    float(out.astype(jnp.float32)[0, 0])
-    r_big = inner * n_mm * 2.0 * k ** 3 / (time.perf_counter() - t0) / 1e12
+
+    def timed_mm(o):
+        t0 = time.perf_counter()
+        for _ in range(n_mm):
+            o = mm(o)
+        float(o.astype(jnp.float32)[0, 0])
+        return time.perf_counter() - t0, o
+
+    best = float("inf")
+    for _ in range(3):  # best-of-3 against transient host contention
+        dt_i, out = timed_mm(out)
+        best = min(best, dt_i)
+    r_big = inner * n_mm * 2.0 * k ** 3 / best / 1e12
     return r_lstm, r_big
 
 

@@ -172,20 +172,30 @@ def cmd_convert(args) -> int:
     from dvc_tpu.train.trainer import Trainer
 
     cfg = _config_from_args(args)
-    trainer = Trainer(cfg,
-                      checkpoints_path=os.path.join(args.log_dir, "checkpoints"))
-    epoch = trainer.load_last(require=True)
-    print(f"loaded checkpoint at epoch {epoch - 1}")
-    variables = {"params": trainer.state.params,
-                 "batch_stats": trainer.state.batch_stats}
+    if args.profile_transfer:
+        # model-free DSP conversion (profile_transfer_mel): no checkpoint
+        # to load; --analyze still needs the model, so reject the combo
+        if getattr(args, "analyze", False):
+            raise SystemExit("--analyze needs a trained model; drop it or "
+                             "drop --profile_transfer")
+        model, variables = None, None
+    else:
+        trainer = Trainer(cfg, checkpoints_path=os.path.join(
+            args.log_dir, "checkpoints"))
+        epoch = trainer.load_last(require=True)
+        print(f"loaded checkpoint at epoch {epoch - 1}")
+        model = trainer.model
+        variables = {"params": trainer.state.params,
+                     "batch_stats": trainer.state.batch_stats}
 
     vocoder = _make_cli_vocoder(args, cfg)
 
     raw, fs_mask = _load_fs_mask(args, cfg)
 
-    converter = VoiceConverter(cfg, trainer.model, variables, seed=args.seed,
+    converter = VoiceConverter(cfg, model, variables, seed=args.seed,
                                long_context=args.long_context,
-                               fs_mask=fs_mask)
+                               fs_mask=fs_mask,
+                               profile_transfer=args.profile_transfer)
     gen_dir = os.path.join(args.log_dir, "generation")
     converter.convert_speaker_pair(
         args.dataset_fp, args.src_spk, args.trg_spk, gen_dir,
@@ -358,7 +368,8 @@ def cmd_serve(args) -> int:
     """HTTP conversion service with cross-request micro-batching
     (dvc_tpu/serve.py — additive serving capability)."""
     from dvc_tpu.serve import (
-        ConversionService, WorldConversionService, make_http_server)
+        ConversionService, ProfileTransferService, WorldConversionService,
+        make_http_server)
     from dvc_tpu.train.trainer import Trainer
 
     if getattr(args, "pipeline", "mel") == "world":
@@ -366,6 +377,27 @@ def cmd_serve(args) -> int:
         # WORLD_processing.py path); dataset_fp is a preprocess-world dir
         args.features = "mcc"
     cfg = _config_from_args(args)
+    if getattr(args, "profile_transfer", False):
+        # model-free DSP route: no checkpoint; vocoder is the only device
+        # work.  Reject silently-ignored flag combos (ADVICE r4 pattern).
+        if args.pipeline == "world":
+            raise SystemExit("--profile_transfer serves the mel pipeline "
+                             "only; drop --pipeline world")
+        if args.fs_mask:
+            raise SystemExit("--profile_transfer is model-free; --fs_mask "
+                             "does not apply")
+        vocoder = _make_cli_vocoder(args, cfg)
+        service = ProfileTransferService(cfg, args.dataset_fp, vocoder,
+                                         max_wait_ms=args.max_wait_ms)
+        server = make_http_server(service, args.host, args.port)
+        print(f"serving on http://{args.host}:{args.port} "
+              f"({len(service.speakers())} target speakers, "
+              "profile-transfer DSP route)")
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        return 0
     trainer = Trainer(cfg,
                       checkpoints_path=os.path.join(args.log_dir, "checkpoints"))
     epoch = trainer.load_last(require=True)
@@ -774,6 +806,14 @@ def main(argv=None) -> int:
                    help="sigmoid-mask binarization threshold for --fs_mask")
     p.add_argument("--fs_top_k", type=int, default=None,
                    help="cap the FS swap at the top-k highest-sigmoid CONTENT dims (style dims always swap) — keeps the swap selective so source content survives")
+    p.add_argument("--profile_transfer", action="store_true",
+                   help="model-free DSP conversion: shift the source mel by "
+                        "the difference of per-speaker mean spectral "
+                        "profiles (no checkpoint needed; content-preserving "
+                        "by construction). The measured honesty baseline "
+                        "every learned conversion is compared against "
+                        "(docs/measurements/quality_full_size_*): at "
+                        "sub-VCTK training scale it wins direction 20/20")
     p.add_argument("--analyze", action="store_true",
                    help="also write latent-analysis artifacts into the "
                         "generation dir: per-speaker latent mean/std plot "
@@ -886,6 +926,11 @@ def main(argv=None) -> int:
     p.add_argument("--fs_threshold", type=float, default=0.5)
     p.add_argument("--fs_top_k", type=int, default=None,
                    help="cap the FS swap at the top-k highest-sigmoid CONTENT dims (style dims always swap) — keeps the swap selective so source content survives")
+    p.add_argument("--profile_transfer", action="store_true",
+                   help="serve the model-free DSP conversion (profile "
+                        "shift, convert --profile_transfer semantics): no "
+                        "checkpoint needed; the vocoder is the only device "
+                        "work (mel pipeline only)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("eval-eer")

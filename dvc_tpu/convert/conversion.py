@@ -169,6 +169,17 @@ def profile_transfer_mel(source_mel: np.ndarray, src_profile: np.ndarray,
     return np.clip(src + shift, 0.0, 1.0)
 
 
+def speaker_mel_profile(mel_fps, max_utterances: int = 32) -> np.ndarray:
+    """Mean spectral profile (80,) of a speaker: time-mean mel averaged
+    over up to `max_utterances` of the speaker's preprocessed .npy files.
+    The per-speaker statistic profile_transfer_mel shifts between."""
+    profs = [np.asarray(np.load(fp), np.float32).mean(axis=1)
+             for fp in list(mel_fps)[:max_utterances]]
+    if not profs:
+        raise FileNotFoundError("no mel .npy files to build a profile from")
+    return np.mean(profs, axis=0)
+
+
 def content_sensitivity(outputs, sources) -> float:
     """How much of the source's utterance-to-utterance variation survives
     a conversion function: mean|f(u0)-f(u1)| / mean|src_u0-src_u1| over a
@@ -198,8 +209,8 @@ class VoiceConverter:
     (sorted source utterances, random target utterance, per-pair save dir)."""
 
     cfg: Config
-    model: DisentangledVAE
-    variables: dict
+    model: DisentangledVAE | None
+    variables: dict | None
     seed: int = 0
     # long_context: encode source/target with the whole-utterance
     # (cross-chunk-context) encoder instead of independent 64-frame chunks
@@ -208,6 +219,12 @@ class VoiceConverter:
     # fs_mask: binary (latent_dim,) mask -> FeatureSelection-masked latent
     # swap (binarize_fs_mask of a train-fs feature_mask.npz)
     fs_mask: np.ndarray | None = None
+    # profile_transfer: checkpoint-free DSP conversion (profile_transfer_mel)
+    # — shift the source mel by the difference of per-speaker mean spectral
+    # profiles.  Content-preserving by construction; the honesty baseline
+    # every learned conversion in this repo is measured against, exposed as
+    # a conversion mode in its own right (model/variables may be None)
+    profile_transfer: bool = False
 
     def convert_speaker_pair(self, dataset_fp: str, src_spk: str, trg_spk: str,
                              generation_dir: str, num_utterances: int = 2,
@@ -229,6 +246,14 @@ class VoiceConverter:
             raise FileNotFoundError(
                 f"no mel .npy files for target speaker {trg_spk!r} under "
                 f"{dataset_fp}")
+        src_prof = trg_prof = None
+        if self.profile_transfer:
+            if self.fs_mask is not None or self.long_context:
+                raise ValueError(
+                    "--profile_transfer is a model-free DSP conversion; it "
+                    "cannot be combined with --fs_mask or --long_context")
+            src_prof = speaker_mel_profile(src_fps)
+            trg_prof = speaker_mel_profile(trg_fps)
         results = []
         for i in range(min(num_utterances, len(src_fps))):
             source_mel = np.load(src_fps[i])
@@ -238,7 +263,13 @@ class VoiceConverter:
             # else keeps the positional index
             parts = stem.split("_")
             utt_id = parts[-2] if len(parts) >= 2 else str(i)
-            if self.long_context:
+            if self.profile_transfer:
+                # recons slot = source pass-through (this mode has no
+                # autoencoder to probe); converted = profile shift
+                recons = source_mel
+                converted = profile_transfer_mel(source_mel, src_prof,
+                                                 trg_prof)
+            elif self.long_context:
                 if self.fs_mask is not None:
                     raise ValueError(
                         "--fs_mask is not supported with --long_context "

@@ -315,6 +315,80 @@ class ConversionService(_MicroBatchService):
         self._finish(owners, wavs, n)
 
 
+class ProfileTransferService(_MicroBatchService):
+    """`serve --profile_transfer`: the model-free DSP conversion route.
+
+    No checkpoint and no device program: converted = source mel shifted by
+    (target speaker's mean spectral profile − the source's profile), clipped
+    to [0,1] (convert/conversion.py profile_transfer_mel — content-
+    preserving by construction, and the measured honesty baseline every
+    learned conversion in this repo is compared against).  A serving
+    request carries no source-speaker label, so the source profile is
+    estimated from the request utterance itself (its own time-mean mel);
+    target profiles are computed once per speaker from dataset_fp and
+    cached.  The vocoder (when given) is the only device work."""
+
+    def __init__(self, cfg: Config, dataset_fp: str, vocoder=None,
+                 max_batch_chunks: int = 64, max_wait_ms: float = 10.0,
+                 max_queue: int = 256):
+        self.cfg = cfg
+        self.dataset_fp = dataset_fp
+        self.vocoder = vocoder
+        self.output_is_wav = vocoder is not None
+        self._prof_cache: dict[str, np.ndarray] = {}
+        self._prof_lock = threading.Lock()
+        self._frames = cfg.vae.frames
+        self._start(max_wait_ms, max_queue, max_batch_chunks)
+
+    def speakers(self) -> list[str]:
+        return sorted(d for d in os.listdir(self.dataset_fp)
+                      if os.path.isdir(os.path.join(self.dataset_fp, d)))
+
+    def target_profile(self, spk: str) -> np.ndarray:
+        with self._prof_lock:
+            hit = self._prof_cache.get(spk)
+            if hit is not None:
+                return hit
+        from dvc_tpu.convert.conversion import speaker_mel_profile
+        fps = sorted(glob(os.path.join(self.dataset_fp, spk, "*.npy")))
+        if not fps:
+            raise KeyError(f"unknown target speaker {spk!r}")
+        prof = speaker_mel_profile(fps)
+        with self._prof_lock:
+            self._prof_cache[spk] = prof
+        return prof
+
+    def _cost(self, req: _Request) -> int:
+        # same cost unit as ConversionService so --max_wait_ms/--max_batch
+        # tuning carries over (the vocoder batch is the real device work)
+        return num_chunks(req.payload.shape[1], self._frames)
+
+    def _process(self, batch: list[_Request]):
+        from dvc_tpu.convert.conversion import profile_transfer_mel
+        mels, owners, n = [], [], 0
+        for r in batch:
+            if r.abandoned:
+                continue
+            try:
+                prof = self.target_profile(r.trg_spk)
+            except Exception as e:
+                self._fail_request(r, e)
+                continue
+            src = np.asarray(r.payload, np.float32)
+            mels.append(profile_transfer_mel(src, src.mean(axis=1), prof))
+            owners.append(r)
+            n += num_chunks(src.shape[1], self._frames)
+        if not owners:
+            return
+        if self.vocoder is not None:
+            batch_fn = getattr(self.vocoder, "batch", None)
+            wavs = batch_fn(mels) if batch_fn is not None \
+                else [self.vocoder(m) for m in mels]
+        else:
+            wavs = mels
+        self._finish(owners, wavs, n)
+
+
 class WorldConversionService(_MicroBatchService):
     """`serve --pipeline world`: the MCC/WORLD conversion route, batched.
 

